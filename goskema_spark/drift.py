@@ -1,0 +1,95 @@
+"""Distribution-drift detection on n_tok histograms (north rule):
+fixed-width histogram via width_bucket (built-in, single hash aggregate),
+then PSI (population stability index) and a two-sample KS statistic
+computed ON THE DRIVER from the two (tiny) histograms.
+
+The scale story: the only distributed work is one groupBy over the
+bucket id — partial+final hash agg, k buckets out regardless of input
+size. The statistics are O(k) driver-side arithmetic.
+
+Semantics anchor: this is the aggregate analog of goskema's
+`aggregate_violation` code (reference errors.go:31) — a dataset-level
+rule violation rather than a per-row one.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from goskema_spark.issues import Codes
+
+DEFAULT_BUCKETS = 16
+
+
+def histogram(df: DataFrame, column: str, lo: float, hi: float,
+              buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Equal-width histogram: (bucket, bucket_lo, bucket_hi, cnt).
+    Bucket 0 catches < lo, bucket `buckets+1` catches >= hi
+    (width_bucket semantics); null values are dropped."""
+    width = (hi - lo) / buckets
+    b = F.width_bucket(F.col(column).cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(buckets))
+    return (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("bucket_lo", (F.lit(lo) + (F.col("bucket") - 1) * F.lit(width)).cast("double"))
+        .withColumn("bucket_hi", (F.lit(lo) + F.col("bucket") * F.lit(width)).cast("double"))
+        .select("bucket", "bucket_lo", "bucket_hi", "cnt")
+    )
+
+
+def _normalize(hist: dict, buckets: int, eps: float = 1e-6) -> list:
+    total = sum(hist.values()) or 1
+    # buckets 0..buckets+1 (underflow/overflow included)
+    return [max(hist.get(i, 0) / total, eps) for i in range(0, buckets + 2)]
+
+
+def psi(cur_hist: dict, ref_hist: dict, buckets: int = DEFAULT_BUCKETS) -> float:
+    """Population Stability Index: sum((p - q) * ln(p / q)). Rule of thumb:
+    < 0.1 stable, 0.1-0.25 moderate, > 0.25 drifted."""
+    p = _normalize(cur_hist, buckets)
+    q = _normalize(ref_hist, buckets)
+    return float(sum((pi - qi) * math.log(pi / qi) for pi, qi in zip(p, q)))
+
+
+def ks_statistic(cur_hist: dict, ref_hist: dict, buckets: int = DEFAULT_BUCKETS) -> float:
+    """Two-sample KS statistic on binned data: max |CDF_p - CDF_q|."""
+    p = _normalize(cur_hist, buckets)
+    q = _normalize(ref_hist, buckets)
+    sp = sq = 0.0
+    tp, tq = sum(p), sum(q)
+    d = 0.0
+    for pi, qi in zip(p, q):
+        sp += pi / tp
+        sq += qi / tq
+        d = max(d, abs(sp - sq))
+    return float(d)
+
+
+def drift_check(df: DataFrame, column: str, ref: DataFrame, lo: float, hi: float,
+                buckets: int = DEFAULT_BUCKETS, psi_threshold: float = 0.25,
+                ks_threshold: float = 0.30) -> dict:
+    """Compare df[column]'s histogram against a reference snapshot
+    (schema: bucket|bucket_lo, cnt). Returns a verdict dict; `code`
+    is `aggregate_violation` when drifted (FIXTURES.md F3 contract)."""
+    cur = {r["bucket"]: r["cnt"] for r in histogram(df, column, lo, hi, buckets).collect()}
+    ref_rows = ref.collect()
+    if ref_rows and "bucket" in ref_rows[0].asDict():
+        refh = {r["bucket"]: r["cnt"] for r in ref_rows}
+    else:  # FIXTURES F3 shape: bucket_lo/bucket_hi/cnt
+        width = (hi - lo) / buckets
+        refh = {int(round((r["bucket_lo"] - lo) / width)) + 1: r["cnt"] for r in ref_rows}
+    p = psi(cur, refh, buckets)
+    k = ks_statistic(cur, refh, buckets)
+    drifted = p > psi_threshold or k > ks_threshold
+    return {
+        "check": f"drift_{column}",
+        "psi": p,
+        "ks": k,
+        "psi_threshold": psi_threshold,
+        "ks_threshold": ks_threshold,
+        "verdict": "fail" if drifted else "pass",
+        "code": Codes.AGGREGATE_VIOLATION if drifted else None,
+    }

@@ -1,0 +1,362 @@
+"""Compile a TableSchema into a single vectorized per-row validation pass.
+
+The reference walks a token stream per document (reference
+internal/engine/engine.go:40-108) and accumulates Issues. Here the whole
+check set compiles to **one Spark `select`** of built-in Column
+expressions (whole-stage-codegen'd, no Python in the hot path): every
+check yields either a nullable violation struct or an array of violation
+structs (for per-element checks, reference dsl/array.go:79-117 issues at
+`/<field>/<idx>`), all concatenated into a `_violations` array column and
+filtered for nulls.
+
+Fail-fast vs collect (reference api.go:147-156): collect keeps the full
+array; fail_fast slices it to 1 element per row (and callers can
+`violations.limit(1)` for a global first-issue stop).
+
+Deterministic ordering (reference README.md:573-574): checks are compiled
+in sorted field order, then by check kind; the exploded violations table
+sorts by (row_id, path, code).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from goskema_spark.issues import (
+    Codes,
+    VIOLATION_STRUCT,
+    message_for,
+    pointer,
+)
+from goskema_spark.schema import (
+    INT_RANGES,
+    ArraySpec,
+    Field,
+    MapSpec,
+    TableSchema,
+)
+
+_VIOL_DDL = "struct<path:string,code:string,message:string,rule:string,params:map<string,string>>"
+_VIOL_ARR_DDL = f"array<{_VIOL_DDL}>"
+
+
+def _s(v) -> Column:
+    """Cast any column/literal to string for params maps."""
+    return (v if isinstance(v, Column) else F.lit(v)).cast("string")
+
+
+def violation(path, code: str, rule: Optional[str] = None, params: Optional[dict] = None,
+              message: Optional[str] = None) -> Column:
+    """Build a violation struct Column (shape of reference errors.go:39-54)."""
+    path_col = path if isinstance(path, Column) else F.lit(path)
+    if params:
+        kv = []
+        for k in sorted(params):
+            kv.extend([F.lit(k), _s(params[k])])
+        params_col = F.create_map(*kv)
+    else:
+        params_col = F.lit(None).cast("map<string,string>")
+    return F.struct(
+        path_col.cast("string").alias("path"),
+        F.lit(code).alias("code"),
+        F.lit(message if message is not None else message_for(code)).alias("message"),
+        F.lit(rule).cast("string").alias("rule"),
+        params_col.alias("params"),
+    )
+
+
+def _maybe(cond: Column, viol: Column) -> Column:
+    """Violation struct when cond is TRUE, else null (null-safe: a NULL
+    condition means 'cannot evaluate' and does not fire, matching the
+    reference where rules only run on successfully-parsed values)."""
+    return F.when(cond, viol)
+
+
+class CompiledChecks:
+    """scalars: list[Column<struct|null>]; arrays: list[Column<array<struct>>]."""
+
+    def __init__(self):
+        self.scalars: list = []
+        self.arrays: list = []
+
+    def add(self, cond: Column, path, code, rule=None, params=None, message=None):
+        self.scalars.append(_maybe(cond, violation(path, code, rule, params, message)))
+
+    def add_array(self, arr: Column):
+        self.arrays.append(F.coalesce(arr, F.array().cast(_VIOL_ARR_DDL)))
+
+    def combined(self) -> Column:
+        parts = []
+        if self.scalars:
+            parts.append(F.array(*self.scalars))
+        parts.extend(self.arrays)
+        if not parts:
+            return F.array().cast(_VIOL_ARR_DDL)
+        combined = parts[0] if len(parts) == 1 else F.concat(*parts)
+        return F.filter(combined, lambda x: x.isNotNull())
+
+
+def compile_checks(schema: TableSchema, df: DataFrame) -> CompiledChecks:
+    out = CompiledChecks()
+    df_types = dict(df.dtypes)
+
+    # unknown-column policy (reference types.go:4-10, dsl/object_core.go:136-169)
+    declared = set(schema.field_names()) | {"_ord", "_row_id"}
+    if schema.passthrough_target:
+        declared.add(schema.passthrough_target)
+    unknown = sorted(c for c in df.columns if c not in declared and not c.startswith("_"))
+    if schema.unknown == "strict":
+        for c in unknown:
+            out.add(F.lit(True), pointer(c), Codes.UNKNOWN_KEY, rule="unknown_strict")
+
+    for f in sorted(schema.fields, key=lambda x: x.name):
+        present = f.name in df.columns
+        if not present:
+            if f.required and f.default is None:
+                # column absent from table schema = missing (SURVEY §7.3)
+                out.add(F.lit(True), pointer(f.name), Codes.REQUIRED, rule="required")
+            continue
+        col = F.col(f.name)
+        p = pointer(f.name)
+
+        if f.required and f.default is None:
+            out.add(col.isNull(), p, Codes.REQUIRED, rule="required")
+
+        if isinstance(f.dtype, ArraySpec):
+            _compile_array(out, f, col, p, df_types.get(f.name, ""))
+        elif isinstance(f.dtype, MapSpec):
+            _compile_map(out, f, col, p)
+        else:
+            _compile_scalar(out, f, col, p, df_types.get(f.name, ""))
+
+    # discriminated union (reference dsl/union.go:17-52)
+    if schema.discriminator is not None:
+        d = schema.discriminator
+        dcol = F.col(d.column)
+        dpath = pointer(d.column)
+        out.add(dcol.isNull(), dpath, Codes.DISCRIMINATOR_MISSING, rule="discriminator")
+        tags = list(d.variants.keys())
+        out.add(dcol.isNotNull() & ~dcol.isin(tags), dpath, Codes.DISCRIMINATOR_UNKNOWN,
+                rule="discriminator", params={"got": dcol})
+        for tag, refs in d.variants.items():
+            for r in refs:
+                cond = (dcol == F.lit(tag)) & r.violates()
+                out.add(cond, r.path or dpath, r.code, rule=r.name,
+                        params=r.params() if r.params else None)
+
+    # cross-field refinements (reference dsl/object_builder.go:129-135,
+    # dsl/typed_rules.go:56-91 — rule name stamped into the row)
+    for r in schema.refinements:
+        cond = r.violates()
+        if r.when is not None:  # presence gating (domain_types.go:25-34)
+            cond = r.when() & cond
+        out.add(cond, r.path, r.code, rule=r.name,
+                params=r.params() if r.params else None)
+
+    return out
+
+
+def _int_bounds(dtype: str):
+    return INT_RANGES.get(dtype)
+
+
+def _compile_scalar(out: CompiledChecks, f: Field, col: Column, p: str, actual_type: str):
+    nn = col.isNotNull()
+
+    # wire-type check via cast-null-out (reference dsl/primitives.go:163-235):
+    # a value that exists but cannot cast to the declared type is invalid_type.
+    if f.dtype in ("int8", "int16", "int32", "int", "int64", "long") and actual_type in ("double", "float", "string"):
+        casted = col.cast("double")
+        out.add(nn & casted.isNull(), p, Codes.INVALID_TYPE, rule="type")
+        if actual_type in ("double", "float"):
+            # fractional part not allowed (reference dsl/primitives.go:628-631)
+            out.add(nn & casted.isNotNull() & (casted != F.floor(casted)), p,
+                    Codes.OVERFLOW, rule="int_fraction",
+                    message="fractional part not allowed", params={"got": col})
+    if f.dtype in ("double", "float") and actual_type == "string":
+        out.add(nn & col.cast("double").isNull(), p, Codes.INVALID_TYPE, rule="type")
+    if f.dtype == "timestamp" and actual_type == "string":
+        out.add(nn & F.to_timestamp(col).isNull(), p, Codes.INVALID_FORMAT,
+                rule="format_rfc3339", params={"got": col})
+
+    # sized-int overflow guard (reference dsl/primitives.go:598-637): applies
+    # when the physical column is wider than the declared logical width.
+    bits = f.int_bits or (f.dtype if f.dtype in INT_RANGES else None)
+    if bits and actual_type in ("bigint", "int", "smallint", "double", "float", "decimal"):
+        lo, hi = INT_RANGES[bits]
+        phys = _int_bounds({"bigint": "int64", "int": "int32", "smallint": "int16"}.get(actual_type, "int64"))
+        if phys is None or phys[0] < lo or phys[1] > hi:
+            num = col.cast("double") if actual_type in ("double", "float") else col
+            out.add(nn & ((num < F.lit(lo)) | (num > F.lit(hi))), p, Codes.OVERFLOW,
+                    rule=f"int_range_{bits}", params={"min": lo, "max": hi, "got": col})
+
+    if f.min is not None:
+        out.add(nn & (col < F.lit(f.min)), p, Codes.TOO_SMALL, rule="min",
+                params={"min": f.min, "got": col})
+    if f.max is not None:
+        out.add(nn & (col > F.lit(f.max)), p, Codes.TOO_BIG, rule="max",
+                params={"max": f.max, "got": col})
+    if f.enum is not None:
+        out.add(nn & ~col.isin(list(f.enum)), p, Codes.INVALID_ENUM, rule="enum",
+                params={"got": col})
+    if f.pattern is not None:
+        out.add(nn & ~col.rlike(f.pattern), p, Codes.PATTERN, rule="pattern",
+                params={"pattern": f.pattern, "got": col})
+    if f.min_str_len is not None:
+        out.add(nn & (F.length(col) < f.min_str_len), p, Codes.TOO_SHORT, rule="min_length",
+                params={"min": f.min_str_len, "got": F.length(col)})
+    if f.max_str_len is not None:
+        out.add(nn & (F.length(col) > f.max_str_len), p, Codes.TOO_LONG, rule="max_length",
+                params={"max": f.max_str_len, "got": F.length(col)})
+    if f.format == "rfc3339" and actual_type == "string":
+        out.add(nn & F.to_timestamp(col, "yyyy-MM-dd'T'HH:mm:ssXXX").isNull(), p,
+                Codes.INVALID_FORMAT, rule="format_rfc3339", params={"got": col})
+
+
+def _compile_array(out: CompiledChecks, f: Field, col: Column, p: str, actual_type: str):
+    spec: ArraySpec = f.dtype
+    nn = col.isNotNull()
+    sz = F.size(col)
+
+    # length bounds (reference dsl/array.go:45-48, checks :137-158)
+    if spec.min_len is not None:
+        out.add(nn & (sz < spec.min_len), p, Codes.TOO_SHORT, rule="array_min",
+                params={"min": spec.min_len, "got": sz})
+    if spec.max_len is not None:
+        # doubles as the MaxBytes-style DoS guard (reference enforce.go:147-155)
+        out.add(nn & (sz > spec.max_len), p, Codes.TOO_LONG, rule="array_max",
+                params={"max": spec.max_len, "got": sz})
+
+    # per-element checks with /<field>/<idx> paths
+    # (reference dsl/array.go:79-117; paths rebased like /items/0/foo)
+    elem_conds = []
+    def elem_viol(t, i):
+        path = F.concat(F.lit(p + "/"), i.cast("string"))
+        conds = []
+        if not spec.elem_nullable:
+            conds.append((t.isNull(), Codes.INVALID_TYPE, "elem_type", None))
+        bounds = _int_bounds(spec.elem) if spec.elem in INT_RANGES else None
+        if bounds and actual_type == "array<bigint>":
+            lo, hi = bounds
+            conds.append(((t < lo) | (t > hi), Codes.OVERFLOW, f"elem_range_{spec.elem}",
+                          {"min": lo, "max": hi, "got": t}))
+        if spec.elem_min is not None:
+            conds.append((t.isNotNull() & (t < spec.elem_min), Codes.DOMAIN_RANGE, "elem_domain",
+                          {"min": spec.elem_min, "max": spec.elem_max, "got": t}))
+        if spec.elem_max is not None:
+            conds.append((t.isNotNull() & (t >= spec.elem_max), Codes.DOMAIN_RANGE, "elem_domain",
+                          {"min": spec.elem_min, "max": spec.elem_max, "got": t}))
+        expr = F.lit(None).cast(_VIOL_DDL)
+        for cond, code, rule, params in reversed(conds):
+            expr = F.when(cond, violation(path, code, rule, params)).otherwise(expr)
+        return expr
+
+    has_elem_checks = (not spec.elem_nullable) or spec.elem_min is not None \
+        or spec.elem_max is not None or (spec.elem in INT_RANGES and actual_type == "array<bigint>")
+    if has_elem_checks:
+        arr = F.filter(F.transform(col, elem_viol), lambda x: x.isNotNull())
+        out.add_array(arr)
+
+    # contains counter (reference dsl/array.go:51-56, WithStreamContains)
+    if spec.contains_pred is not None:
+        cnt = F.size(F.filter(col, spec.contains_pred))
+        if spec.contains_min is not None:
+            out.add(nn & (cnt < spec.contains_min), p, Codes.TOO_SHORT, rule="contains_min",
+                    params={"min": spec.contains_min, "got": cnt})
+        if spec.contains_max is not None:
+            out.add(nn & (cnt > spec.contains_max), p, Codes.TOO_LONG, rule="contains_max",
+                    params={"max": spec.contains_max, "got": cnt})
+
+
+def _compile_map(out: CompiledChecks, f: Field, col: Column, p: str):
+    """Homogeneous map value validation (reference dsl/map_core.go:48-119),
+    issues at /<field>/<key> with RFC6901-escaped keys."""
+    spec: MapSpec = f.dtype
+
+    def key_path(k):
+        esc = F.regexp_replace(F.regexp_replace(k, "~", "~0"), "/", "~1")
+        return F.concat(F.lit(p + "/"), esc)
+
+    conds = []
+    if spec.value_min is not None:
+        conds.append((lambda v: v < spec.value_min, Codes.TOO_SMALL, "map_value_min",
+                      lambda v: {"min": spec.value_min, "got": v}))
+    if spec.value_max is not None:
+        conds.append((lambda v: v > spec.value_max, Codes.TOO_BIG, "map_value_max",
+                      lambda v: {"max": spec.value_max, "got": v}))
+    if not conds:
+        return
+    def entry_viol(k, v):
+        expr = F.lit(None).cast(_VIOL_DDL)
+        for pred, code, rule, params in reversed(conds):
+            expr = F.when(v.isNotNull() & pred(v), violation(key_path(k), code, rule, params(v))).otherwise(expr)
+        return expr
+    entries = F.transform(F.map_entries(col), lambda e: entry_viol(e["key"], e["value"]))
+    out.add_array(F.filter(entries, lambda x: x.isNotNull()))
+
+
+# --------------------------------------------------------------------------
+
+
+def apply_defaults(df: DataFrame, schema: TableSchema) -> DataFrame:
+    """Materialize defaults (reference dsl/object_builder.go:70-91, applied
+    dsl/object_core.go:83-93); stamps a `_default_applied` presence-bit map
+    (reference presence.go:11-15 PresenceDefaultApplied)."""
+    defaults = [(f.name, f.default) for f in schema.fields if f.default is not None]
+    if not defaults:
+        return df
+    bits = []
+    for name, dv in defaults:
+        if name in df.columns:
+            bits.extend([F.lit(name), F.col(name).isNull()])
+            df = df.withColumn(name, F.coalesce(F.col(name), F.lit(dv)))
+        else:
+            bits.extend([F.lit(name), F.lit(True)])
+            df = df.withColumn(name, F.lit(dv))
+    return df.withColumn("_default_applied", F.create_map(*bits))
+
+
+def with_violations(df: DataFrame, schema: TableSchema,
+                    violations_col: str = "_violations") -> DataFrame:
+    """Annotate every row with its violations array — ONE select, all
+    built-in expressions (north rule: no per-row Python)."""
+    checks = compile_checks(schema, df)
+    combined = checks.combined()
+    if schema.fail_fast:
+        combined = F.slice(combined, 1, 1)  # first issue only (api.go:147-156)
+    return df.withColumn(violations_col, combined)
+
+
+def explode_violations(df: DataFrame, row_id: Column,
+                       violations_col: str = "_violations") -> DataFrame:
+    """_violations array -> violations table (FIXTURES.md F5 shape), sorted
+    deterministically by (row_id, path, code) — the distributed analog of
+    goskema's issue ordering (reference README.md:573-574)."""
+    v = df.withColumn("_row_id", row_id).select(
+        F.col("_row_id").alias("row_id"),
+        F.explode(F.col(violations_col)).alias("v"),
+    )
+    return v.select(
+        "row_id",
+        F.col("v.path").alias("path"),
+        F.col("v.code").alias("code"),
+        F.col("v.message").alias("message"),
+        F.col("v.rule").alias("rule"),
+        F.col("v.params").alias("params"),
+    )
+
+
+def validate_rows(df: DataFrame, schema: TableSchema, row_id: Column):
+    """Full row pass: returns (annotated_df, violations_df, clean_df).
+
+    clean_df preserves input token arrays byte-identically (per-row
+    invariant, BASELINE.json input_hint) — it is a pure filter, never a
+    rewrite of the data columns.
+    """
+    df = apply_defaults(df, schema)
+    ann = with_violations(df, schema)
+    viols = explode_violations(ann, row_id)
+    clean = ann.filter(F.size(F.col("_violations")) == 0).drop("_violations")
+    return ann, viols, clean

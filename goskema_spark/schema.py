@@ -1,0 +1,279 @@
+"""Declarative table schema + constraint builder.
+
+The goskema DSL (reference dsl/object_builder.go:29-39, dsl/primitives.go,
+dsl/array.go) declares a fixed schema that is the single source of truth
+for both shape and constraints (reference README.md:18). This module is
+the columnar analog: a TableSchema holds typed fields with per-field
+constraints, table-level refinements (cross-field rules, reference
+dsl/object_builder.go:129-135 / object_typed_builder.go:44-54), unknown-
+column policy (reference types.go:4-10), uniqueness keys (reference
+rules/rules.go:104-137) and referential (context-rule) checks (reference
+dsl/object_typed_builder.go:57-68).
+
+Nothing here touches Spark execution; compilation to Column expressions
+lives in rowpass.py so the schema stays a pure declaration.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Callable, Optional, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import types as T
+
+# Sized-integer ranges for overflow guards
+# (reference dsl/primitives.go:598-637 and analogs).
+INT_RANGES = {
+    "int8": (-(2**7), 2**7 - 1),
+    "int16": (-(2**15), 2**15 - 1),
+    "int32": (-(2**31), 2**31 - 1),
+    "int64": (-(2**63), 2**63 - 1),
+    "uint8": (0, 2**8 - 1),
+    "uint16": (0, 2**16 - 1),
+    "uint32": (0, 2**32 - 1),
+    "uint64": (0, 2**64 - 1),
+}
+
+_SPARK_TYPES = {
+    "string": T.StringType(),
+    "bool": T.BooleanType(),
+    "double": T.DoubleType(),
+    "float": T.FloatType(),
+    "int8": T.ByteType(),
+    "int16": T.ShortType(),
+    "int32": T.IntegerType(),
+    "int": T.IntegerType(),
+    "int64": T.LongType(),
+    "long": T.LongType(),
+    "timestamp": T.TimestampType(),
+    "date": T.DateType(),
+    "binary": T.BinaryType(),
+}
+
+
+@dataclass
+class ArraySpec:
+    """array<elem> with length and element-domain bounds.
+
+    Mirrors g.Array(elem).Min(n).Max(n) (reference dsl/array.go:24-48) and
+    per-element validation with /<idx> paths (reference dsl/array.go:79-117).
+    contains_(min,max,pred) mirrors WithStreamContains
+    (reference dsl/array.go:51-56).
+    """
+
+    elem: str = "int32"
+    min_len: Optional[int] = None
+    max_len: Optional[int] = None
+    elem_min: Optional[int] = None  # domain_range lower bound (inclusive)
+    elem_max: Optional[int] = None  # domain_range upper bound (exclusive)
+    elem_nullable: bool = False
+    contains_pred: Optional[Callable[[Column], Column]] = None
+    contains_min: Optional[int] = None
+    contains_max: Optional[int] = None
+
+
+@dataclass
+class MapSpec:
+    """map<string, V> with per-value bounds (reference dsl/map_core.go:39-46)."""
+
+    value: str = "string"
+    value_min: Optional[Any] = None
+    value_max: Optional[Any] = None
+
+
+@dataclass
+class Field:
+    name: str
+    dtype: Any  # str | ArraySpec | MapSpec | TableSchema (nested struct)
+    required: bool = False  # missing/null -> `required` (dsl/object_core.go:125-130)
+    nullable: bool = True  # explicit null ok (dsl/adapter.go:61-98)
+    default: Any = None  # materialized when null (dsl/object_builder.go:70-91)
+    min: Any = None  # too_small
+    max: Any = None  # too_big
+    enum: Optional[Sequence[Any]] = None  # invalid_enum
+    pattern: Optional[str] = None  # pattern (regex)
+    min_str_len: Optional[int] = None  # too_short
+    max_str_len: Optional[int] = None  # too_long
+    int_bits: Optional[str] = None  # 'int32' etc -> overflow guard
+    format: Optional[str] = None  # e.g. 'rfc3339' -> invalid_format
+
+    def spark_type(self) -> T.DataType:
+        if isinstance(self.dtype, ArraySpec):
+            return T.ArrayType(_SPARK_TYPES[self.dtype.elem], self.dtype.elem_nullable)
+        if isinstance(self.dtype, MapSpec):
+            return T.MapType(T.StringType(), _SPARK_TYPES[self.dtype.value])
+        if isinstance(self.dtype, TableSchema):
+            return self.dtype.to_struct_type()
+        return _SPARK_TYPES[self.dtype]
+
+
+@dataclass
+class Refinement:
+    """Named cross-field rule (reference dsl/object_builder.go:129-135,
+    typed rules dsl/typed_rules.go:56-91). `violates` is a Column-builder
+    returning TRUE where the rule is violated. `when` optionally gates the
+    rule (presence gating, reference domain_types.go:25-34)."""
+
+    name: str
+    path: str
+    violates: Callable[[], Column]
+    code: str = "business_rule"
+    params: Optional[Callable[[], dict]] = None  # name -> Column
+    when: Optional[Callable[[], Column]] = None
+
+
+@dataclass
+class UniqueKey:
+    """Cross-row uniqueness of a key column (reference rules/rules.go:104-137
+    UniqueBy semantics: code `uniqueness`, params first/dup/key)."""
+
+    column: str
+    ordinal: Optional[str] = None  # stable ordering column for first/dup params
+
+
+@dataclass
+class ForeignKey:
+    """Referential check against a dimension (context-rule pattern,
+    reference dsl/object_typed_builder.go:57-68): value must exist in
+    dim[dim_column]; miss -> invalid_enum at /<column>."""
+
+    column: str
+    dim_name: str
+    dim_column: str
+    code: str = "invalid_enum"
+
+
+@dataclass
+class Discriminator:
+    """Discriminated union (reference dsl/union.go:12-52): `column` selects a
+    variant; unknown tag -> discriminator_unknown, null -> discriminator_missing.
+    variants maps tag -> list[Refinement] applied only for that tag."""
+
+    column: str
+    variants: dict = dc_field(default_factory=dict)
+
+
+@dataclass
+class TableSchema:
+    fields: list
+    unknown: str = "strict"  # 'strict' | 'strip' | 'passthrough'  (types.go:4-10)
+    passthrough_target: Optional[str] = None
+    refinements: list = dc_field(default_factory=list)
+    unique_keys: list = dc_field(default_factory=list)
+    foreign_keys: list = dc_field(default_factory=list)
+    discriminator: Optional[Discriminator] = None
+    fail_fast: bool = False  # ParseOpt{FailFast} (reference api.go:147-156)
+
+    # -- builder chaining -------------------------------------------------
+    def refine(self, name, violates, path="", code="business_rule", params=None, when=None):
+        self.refinements.append(
+            Refinement(name=name, path=path, violates=violates, code=code, params=params, when=when)
+        )
+        return self
+
+    def unique(self, column, ordinal=None):
+        self.unique_keys.append(UniqueKey(column=column, ordinal=ordinal))
+        return self
+
+    def foreign_key(self, column, dim_name, dim_column=None, code="invalid_enum"):
+        self.foreign_keys.append(
+            ForeignKey(column=column, dim_name=dim_name, dim_column=dim_column or column, code=code)
+        )
+        return self
+
+    def discriminate(self, column, variants):
+        self.discriminator = Discriminator(column=column, variants=variants)
+        return self
+
+    # -- projections -------------------------------------------------------
+    def field_names(self) -> list:
+        return [f.name for f in self.fields]
+
+    def get(self, name: str) -> Field:
+        for f in self.fields:
+            if f.name == name:
+                return f
+        raise KeyError(name)
+
+    def to_struct_type(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(f.name, f.spark_type(), not (f.required and not f.nullable))
+                for f in self.fields
+            ]
+        )
+
+    def to_json_schema(self) -> dict:
+        """Minimal JSON Schema export (reference jsonschema/schema.go:5-23,
+        dsl/object_core.go:289-320, dsl/array.go:182-198)."""
+        props = {}
+        required = []
+        for f in self.fields:
+            props[f.name] = _field_json_schema(f)
+            if f.required:
+                required.append(f.name)
+        out = {"type": "object", "properties": props}
+        if required:
+            out["required"] = sorted(required)
+        if self.unknown == "strict":
+            out["additionalProperties"] = False
+        return out
+
+
+_JSON_TYPES = {
+    "string": "string",
+    "bool": "boolean",
+    "double": "number",
+    "float": "number",
+    "timestamp": "string",
+    "date": "string",
+    "binary": "string",
+}
+
+
+def _field_json_schema(f: Field) -> dict:
+    if isinstance(f.dtype, ArraySpec):
+        out = {"type": "array", "items": {"type": "integer" if f.dtype.elem.startswith(("int", "uint")) else _JSON_TYPES.get(f.dtype.elem, "number")}}
+        if f.dtype.min_len is not None:
+            out["minItems"] = f.dtype.min_len
+        if f.dtype.max_len is not None:
+            out["maxItems"] = f.dtype.max_len
+        return out
+    if isinstance(f.dtype, MapSpec):
+        return {"type": "object", "additionalProperties": {"type": _JSON_TYPES.get(f.dtype.value, "number")}}
+    if isinstance(f.dtype, TableSchema):
+        return f.dtype.to_json_schema()
+    base = {"type": _JSON_TYPES.get(f.dtype, "integer")}
+    if f.default is not None:
+        base["default"] = f.default
+    if f.enum is not None:
+        base["enum"] = list(f.enum)
+    if f.pattern is not None:
+        base["pattern"] = f.pattern
+    if f.min is not None:
+        base["minimum"] = f.min
+    if f.max is not None:
+        base["maximum"] = f.max
+    return base
+
+
+def field(name, dtype="string", **kw) -> Field:
+    return Field(name=name, dtype=dtype, **kw)
+
+
+def array(elem="int32", **kw) -> ArraySpec:
+    return ArraySpec(elem=elem, **kw)
+
+
+def map_of(value="string", **kw) -> MapSpec:
+    return MapSpec(value=value, **kw)
+
+
+def table(*fields, unknown="strict", passthrough_target=None, fail_fast=False) -> TableSchema:
+    return TableSchema(
+        fields=list(fields),
+        unknown=unknown,
+        passthrough_target=passthrough_target,
+        fail_fast=fail_fast,
+    )

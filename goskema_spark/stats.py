@@ -1,0 +1,65 @@
+"""Per-column statistics profile (north-rule stats surface).
+
+The reference is schema-level only; the north_star adds table-scale
+profiling: count / null-count / min / max, distinct sketches
+(HyperLogLog++ via approx_count_distinct) and quantile sketches
+(percentile_approx — Spark's GK/KLL-style sketch). All of these are
+single-pass partial+final hash aggregates: one job, no joins, map-side
+combine, output is one row per profiled column.
+
+At 100 TB this is the right shape: every statistic here is an algebraic
+or sketchable aggregate — no sort, no global shuffle beyond the final
+single-reducer combine of per-partition sketch states.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def profile(df: DataFrame, columns=None, exact_distinct: bool = False,
+            rsd: float = 0.02) -> DataFrame:
+    """One row per column: col, cnt, nulls, n_distinct, min_v, max_v (strings).
+
+    exact_distinct=True uses count(distinct) — for golden tests / oracle
+    parity; default is the HLL sketch for scale.
+    """
+    columns = columns or df.columns
+    per_col = []
+    for c in sorted(columns):
+        col = F.col(c)
+        distinct = (F.count_distinct(col) if exact_distinct
+                    else F.approx_count_distinct(col, rsd))
+        is_complex = dict(df.dtypes)[c].startswith(("array", "map", "struct"))
+        minv = F.lit(None).cast("string") if is_complex else F.min(col).cast("string")
+        maxv = F.lit(None).cast("string") if is_complex else F.max(col).cast("string")
+        if is_complex:
+            distinct = F.lit(None).cast("bigint")
+        per_col.append(F.struct(
+            F.lit(c).alias("col"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(col.isNull().cast("long")).alias("nulls"),
+            distinct.cast("bigint").alias("n_distinct"),
+            minv.alias("min_v"),
+            maxv.alias("max_v"),
+        ))
+    one = df.agg(F.array(*per_col).alias("stats"))
+    return one.select(F.explode("stats").alias("s")).select(
+        "s.col", "s.cnt", "s.nulls", "s.n_distinct", "s.min_v", "s.max_v"
+    )
+
+
+def numeric_quantiles(df: DataFrame, column: str,
+                      probs=(0.5, 0.9, 0.99), exact: bool = False) -> DataFrame:
+    """Quantiles of a numeric column: exact `percentile` for goldens,
+    `percentile_approx` (sketch, mergeable) for scale."""
+    col = F.col(column)
+    fn = F.percentile if exact else (lambda c, p: F.percentile_approx(c, p, 10000))
+    aggs = [fn(col, p).cast("double").alias(f"p{int(p * 100)}") for p in probs]
+    return df.agg(
+        F.count(col).alias("cnt"),
+        F.min(col).cast("double").alias("min_v"),
+        F.max(col).cast("double").alias("max_v"),
+        F.avg(col).cast("double").alias("avg_v"),
+        *aggs,
+    )

@@ -1,0 +1,102 @@
+"""Cross-row key uniqueness — the distributed analog of rules.UniqueBy
+(reference rules/rules.go:104-137): code `uniqueness`, message
+"duplicate value" (rules.go:126), params {"first": <ordinal of first
+occurrence>, "dup": <ordinal of this occurrence>, "key": <value>}.
+
+Scale design (north rule: salted hash-aggregate with skew mitigation):
+
+  stage 1  groupBy(salt(key), key) partial counts   -- map-side combine
+           means hot keys are pre-reduced per-partition before shuffling;
+           the explicit salt column additionally splits a pathological
+           single-key shuffle partition across `salt_buckets` reducers.
+  stage 2  re-aggregate by key, filter count > 1    -- duplicate keys only,
+           a tiny relation at any realistic duplicate rate.
+  stage 3  broadcast-semi-join the dup keys back to the corpus and window
+           ONLY over that subset to recover first/dup ordinals.
+
+The expensive global window (sort-shuffle over 10^12 rows) is avoided
+entirely: the window runs over `rows-with-duplicated-keys` only. At a
+0.1% duplicate rate on 10^12 rows that is 10^9 rows spread over the
+cluster — fine; the common path is two hash aggregates with AQE handling
+residual skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from goskema_spark.issues import Codes, MSG_DUPLICATE_VALUE, pointer
+from goskema_spark.rowpass import violation
+
+
+def duplicate_keys(df: DataFrame, key: str, salt_buckets: int = 64) -> DataFrame:
+    """Keys occurring more than once -> (key, cnt). Two-stage salted
+    hash aggregate."""
+    kc = F.col(key)
+    stage1 = (
+        df.filter(kc.isNotNull())
+        .groupBy((F.xxhash64(kc) % salt_buckets).alias("_salt"), kc.alias("_key"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    return (
+        stage1.groupBy("_key")
+        .agg(F.sum("_cnt").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select(F.col("_key").alias(key), "cnt")
+    )
+
+
+def uniqueness_violations(df: DataFrame, key: str, ordinal: str,
+                          row_id: Column) -> DataFrame:
+    """Violation rows for every non-first occurrence of a duplicated key.
+
+    `ordinal` must be a stable, deterministic ordering column (e.g. the
+    source ordinal of the row) so first/dup params are reproducible —
+    goskema's input-order indices (rules.go:117-131) mapped to a
+    distributed setting.
+    """
+    dups = duplicate_keys(df, key)
+    # broadcast the (small) duplicate-key set; window only over the subset
+    sub = df.join(F.broadcast(dups.select(key)), key, "inner")
+    w = Window.partitionBy(key).orderBy(F.col(ordinal).asc())
+    first = F.min(ordinal).over(w)
+    sub = sub.withColumn("_first", first).filter(F.col(ordinal) != F.col("_first"))
+    viol = violation(
+        pointer(key),
+        Codes.UNIQUENESS,
+        rule="unique_by",
+        params={"first": F.col("_first"), "dup": F.col(ordinal), "key": F.col(key)},
+        message=MSG_DUPLICATE_VALUE,
+    )
+    return sub.select(
+        row_id.alias("row_id"),
+        viol.alias("v"),
+    ).select("row_id", "v.path", "v.code", "v.message", "v.rule", "v.params")
+
+
+def within_row_unique_violations(df: DataFrame, array_col: str, row_id: Column) -> DataFrame:
+    """Within-row variant: elements of an array column must be unique
+    (k8s x-kubernetes-list-type: set, reference kubeopenapi/list.go:17-39).
+    Reports `uniqueness` at /<col>/<dup_idx> with first/dup/key params."""
+    col = F.col(array_col)
+    p = pointer(array_col)
+    # first index of each value via array_position (1-based -> 0-based)
+    dup_structs = F.filter(
+        F.transform(col, lambda t, i: F.struct(
+            t.alias("val"), i.alias("idx"),
+            (F.array_position(col, t) - 1).alias("first"))),
+        lambda s: s["idx"] != s["first"],
+    )
+    exploded = (
+        df.withColumn("_rid", row_id)
+        .select("_rid", F.explode(dup_structs).alias("d"))
+    )
+    viol = violation(
+        F.concat(F.lit(p + "/"), F.col("d.idx").cast("string")),
+        Codes.UNIQUENESS,
+        rule="list_set_unique",
+        params={"first": F.col("d.first"), "dup": F.col("d.idx"), "key": F.col("d.val")},
+        message=MSG_DUPLICATE_VALUE,
+    )
+    return exploded.select(F.col("_rid").alias("row_id"), viol.alias("v")) \
+        .select("row_id", "v.path", "v.code", "v.message", "v.rule", "v.params")
