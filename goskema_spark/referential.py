@@ -20,7 +20,7 @@ from goskema_spark.rowpass import violation
 
 def referential_violations(df: DataFrame, column: str, dim: DataFrame,
                            dim_column: str, row_id: Column,
-                           code: str = Codes.INVALID_ENUM) -> DataFrame:
+                           code: str = Codes.INVALID_ENUM, carry=()) -> DataFrame:
     """Rows whose `column` value is absent from dim[dim_column] ->
     violation rows at /<column> with params {"got": value}.
 
@@ -35,8 +35,9 @@ def referential_violations(df: DataFrame, column: str, dim: DataFrame,
     )
     viol = violation(pointer(column), code, rule=f"ref_{column}",
                      params={"got": F.col(column)})
-    return misses.select(row_id.alias("row_id"), viol.alias("v")) \
-        .select("row_id", "v.path", "v.code", "v.message", "v.rule", "v.params")
+    return misses.select(row_id.alias("row_id"), viol.alias("v"),
+                         *[F.col(c) for c in carry]) \
+        .select("row_id", "v.path", "v.code", "v.message", "v.rule", "v.params", *carry)
 
 
 def referential_ok(df: DataFrame, column: str, dim: DataFrame, dim_column: str) -> DataFrame:

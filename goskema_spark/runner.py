@@ -1,0 +1,111 @@
+"""Validator orchestration: full validation run -> violations, per-partition
+verdicts, stats, drift, ledger rows.
+
+Lifecycle (SURVEY §3.4): scan -> [explicit repartition by
+(source, hash(doc_id))] -> stage 1 vectorized row pass -> stage 2
+aggregates (uniqueness / referential / drift / stats) -> stage 3 verdicts
++ ledger. Fail-fast vs collect follows reference api.go:147-156.
+
+Per-partition verdicts use the *logical* partition (the `source` value by
+default) rather than spark_partition_id(): physical partition ids are not
+stable across cluster sizes, and the resume/ledger protocol needs a
+partition identity that survives re-planning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from goskema_spark.referential import referential_violations
+from goskema_spark.rowpass import explode_violations, validate_rows
+from goskema_spark.schema import TableSchema
+from goskema_spark.uniqueness import uniqueness_violations
+
+VIOLATION_COLS = ["row_id", "path", "code", "message", "rule", "params"]
+
+
+@dataclass
+class ValidationResult:
+    annotated: DataFrame          # input + _violations array column
+    violations: DataFrame         # union of row-pass + aggregate violations
+    clean: DataFrame              # rows with zero violations (row-pass level)
+    verdicts: DataFrame           # partition_col, rows, violations, verdict
+    report: dict = dc_field(default_factory=dict)
+
+
+def validate(
+    df: DataFrame,
+    schema: TableSchema,
+    row_id: Column,
+    dims: Optional[dict] = None,
+    partition_col: str = "source",
+    repartition: int = 0,
+) -> ValidationResult:
+    """Run the full check set declared on `schema` against `df`."""
+    dims = dims or {}
+    if repartition:
+        # north rule: explicit repartition by (source, hash(doc_id))
+        df = df.repartition(repartition, F.col(partition_col), F.xxhash64(row_id))
+
+    ann, rowpass_viols, clean = validate_rows(df, schema, row_id)
+
+    # carry the logical partition through aggregate checks for verdicts
+    carry = [partition_col] if partition_col in df.columns else []
+    agg_viols = []
+    for uk in schema.unique_keys:
+        ordinal = uk.ordinal or uk.column
+        agg_viols.append(
+            uniqueness_violations(ann.drop("_violations"), uk.column, ordinal, row_id, carry=carry)
+        )
+    for fk in schema.foreign_keys:
+        dim = dims.get(fk.dim_name)
+        if dim is None:
+            # dependency failure -> dependency_unavailable (errors.go:35)
+            raise RuntimeError(f"dependency_unavailable: dimension '{fk.dim_name}' not provided")
+        agg_viols.append(
+            referential_violations(ann.drop("_violations"), fk.column, dim, fk.dim_column,
+                                   row_id, code=fk.code, carry=carry)
+        )
+
+    # row-pass violations with the partition column attached
+    rp = explode_with_carry(ann, row_id, carry)
+    all_viols = rp
+    for v in agg_viols:
+        all_viols = all_viols.unionByName(v)
+
+    if partition_col in df.columns:
+        by_part_viol = all_viols.groupBy(F.col(partition_col).alias("_pc")).agg(
+            F.count(F.lit(1)).alias("violations"))
+        by_part_rows = df.groupBy(partition_col).agg(F.count(F.lit(1)).alias("rows"))
+        # null-safe join: a NULL partition value is itself a logical partition
+        verdicts = (
+            by_part_rows.join(by_part_viol,
+                              F.col(partition_col).eqNullSafe(F.col("_pc")), "left")
+            .drop("_pc")
+            .withColumn("violations", F.coalesce(F.col("violations"), F.lit(0)))
+            .withColumn("verdict", F.when(F.col("violations") > 0, "fail").otherwise("pass"))
+        )
+    else:
+        verdicts = all_viols.agg(F.count(F.lit(1)).alias("violations")).withColumn(
+            "verdict", F.when(F.col("violations") > 0, "fail").otherwise("pass"))
+
+    return ValidationResult(
+        annotated=ann,
+        violations=all_viols.select(*VIOLATION_COLS, *carry),
+        clean=clean,
+        verdicts=verdicts,
+    )
+
+
+def explode_with_carry(ann: DataFrame, row_id: Column, carry) -> DataFrame:
+    v = ann.withColumn("_row_id", row_id).select(
+        F.col("_row_id").alias("row_id"),
+        F.explode(F.col("_violations")).alias("v"),
+        *[F.col(c) for c in carry],
+    )
+    return v.select(
+        "row_id", "v.path", "v.code", "v.message", "v.rule", "v.params", *carry
+    )

@@ -47,7 +47,7 @@ def duplicate_keys(df: DataFrame, key: str, salt_buckets: int = 64) -> DataFrame
 
 
 def uniqueness_violations(df: DataFrame, key: str, ordinal: str,
-                          row_id: Column) -> DataFrame:
+                          row_id: Column, carry=()) -> DataFrame:
     """Violation rows for every non-first occurrence of a duplicated key.
 
     `ordinal` must be a stable, deterministic ordering column (e.g. the
@@ -71,7 +71,8 @@ def uniqueness_violations(df: DataFrame, key: str, ordinal: str,
     return sub.select(
         row_id.alias("row_id"),
         viol.alias("v"),
-    ).select("row_id", "v.path", "v.code", "v.message", "v.rule", "v.params")
+        *[F.col(c) for c in carry],
+    ).select("row_id", "v.path", "v.code", "v.message", "v.rule", "v.params", *carry)
 
 
 def within_row_unique_violations(df: DataFrame, array_col: str, row_id: Column) -> DataFrame:
