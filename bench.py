@@ -1,0 +1,133 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  GSK_REPLICATE        corpus replication factor (default 64)
+
+The corpus (north-rule shape) is materialized once to parquet under
+/tmp so the measured pipeline is scan -> vectorized row pass ->
+aggregates -> verdicts, the same shape as the production job.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GSK_REPLICATE", "256"))
+
+
+def get_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("goskema_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("GSK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def corpus_path(sf_dir: str, replicate: int) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return f"/tmp/gsk_bench_corpus_{tag}_x{replicate}.parquet"
+
+
+def ensure_corpus(spark: SparkSession, sf_dir: str, replicate: int) -> str:
+    path = corpus_path(sf_dir, replicate)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from goskema_spark.corpus import scaled_corpus
+
+        df = scaled_corpus(spark, sf_dir, replicate=replicate, partitions=CPUS * 2)
+        df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def main():
+    from goskema_spark.corpus import corpus_schema, dim_source_df, row_id_col
+    from goskema_spark.drift import histogram
+    from goskema_spark.rowpass import validate_rows
+    from goskema_spark.runner import validate
+    from goskema_spark.stats import profile
+
+    spark = get_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    path = ensure_corpus(spark, SF_DIR, REPLICATE)
+    dim = dim_source_df(spark)
+    schema = corpus_schema()
+
+    def load():
+        return spark.read.parquet(path)
+
+    n_rows = load().count()
+    timings: dict[str, float] = {}
+
+    runs = int(os.environ.get("GSK_BENCH_RUNS", "3"))
+
+    def bench(name, fn, warm=True):
+        if warm:  # exclude JVM/codegen warmup
+            fn()
+        best = float("inf")
+        for _ in range(runs):  # min-of-N: local-mode GC/JIT stalls are noise,
+            t0 = time.time()   # steady-state throughput is the signal
+            fn()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+
+    # headline: full validation (row pass + uniqueness + referential +
+    # per-source verdicts) — the north-rule constraint-eval job
+    def q_full():
+        res = validate(load(), schema, row_id_col(), dims={"dim_source": dim})
+        res.violations.write.format("noop").mode("overwrite").save()
+        res.verdicts.write.format("noop").mode("overwrite").save()
+        res.violations.unpersist()
+
+    def q_rowpass():
+        _, viols, _ = validate_rows(load(), schema, row_id_col())
+        viols.write.format("noop").mode("overwrite").save()
+
+    def q_stats():
+        profile(load(), ["doc_id", "n_tok", "source"]).write.format("noop").mode("overwrite").save()
+
+    def q_hist():
+        histogram(load(), "n_tok", 0, 64, 16).write.format("noop").mode("overwrite").save()
+
+    def q_clean_scan():
+        _, _, clean = validate_rows(load(), schema, row_id_col())
+        clean.select(F.sum("n_tok")).write.format("noop").mode("overwrite").save()
+
+    bench("full_validation", q_full)
+    bench("rowpass", q_rowpass)
+    bench("stats_profile", q_stats)
+    bench("ntok_histogram", q_hist)
+    bench("clean_scan", q_clean_scan)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "validated sequences/sec (constraint-eval throughput)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "rows": n_rows,
+        "cpus": CPUS,
+        "replicate": REPLICATE,
+        "seq_per_sec": round(n_rows / timings["full_validation"], 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,8 +43,14 @@ def validate(
     dims: Optional[dict] = None,
     partition_col: str = "source",
     repartition: int = 0,
+    cache_violations: bool = True,
 ) -> ValidationResult:
-    """Run the full check set declared on `schema` against `df`."""
+    """Run the full check set declared on `schema` against `df`.
+
+    cache_violations persists the violations relation (tiny relative to
+    the input at any sane violation rate) so that the verdict aggregation
+    and any downstream consumer do not recompute the full scan DAG.
+    """
     dims = dims or {}
     if repartition:
         # north rule: explicit repartition by (source, hash(doc_id))
@@ -75,6 +81,8 @@ def validate(
     all_viols = rp
     for v in agg_viols:
         all_viols = all_viols.unionByName(v)
+    if cache_violations:
+        all_viols = all_viols.persist()
 
     if partition_col in df.columns:
         by_part_viol = all_viols.groupBy(F.col(partition_col).alias("_pc")).agg(
