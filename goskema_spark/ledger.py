@@ -1,0 +1,130 @@
+"""Run ledger + checkpoint/resume (north rule: "resumable from checkpoint
+with per-partition lineage + metrics written to a ledger table").
+
+The reference has no analog (it is a single-call library); the design
+follows FIXTURES.md F4:
+
+  ledger row: run_id, partition_id, source, rows, violations, verdict,
+              checks map<string,string>, started_at, finished_at
+
+Protocol:
+  - logical partitions = distinct values of the partition column
+    (`source`): stable across cluster sizes and re-planning, unlike
+    spark_partition_id().
+  - a partition is COMPLETE once its ledger row is durably written
+    (parquet append of one file per batch, atomic enough for a
+    single-writer run; Iceberg commits would make this transactional on
+    a real lakehouse).
+  - resume: re-running with the same run_id loads the ledger, skips
+    completed partitions via partition-pruned scan (filter on the
+    partition column — pushed down to the reader), validates only the
+    remainder, and appends their ledger rows. The final ledger is
+    identical to an uninterrupted run (idempotence test in
+    tests/test_ledger.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from goskema_spark.runner import ValidationResult, validate
+
+LEDGER_SCHEMA = T.StructType([
+    T.StructField("run_id", T.StringType(), False),
+    T.StructField("partition_id", T.IntegerType(), True),
+    T.StructField("source", T.StringType(), True),
+    T.StructField("rows", T.LongType(), True),
+    T.StructField("violations", T.LongType(), True),
+    T.StructField("verdict", T.StringType(), True),
+    T.StructField("checks", T.MapType(T.StringType(), T.StringType()), True),
+    T.StructField("started_at", T.TimestampType(), True),
+    T.StructField("finished_at", T.TimestampType(), True),
+])
+
+_NULL_SRC = "\x00<null>"  # ledger key for a NULL partition value
+
+
+def completed_partitions(spark: SparkSession, ledger_path: str, run_id: str) -> set:
+    if not os.path.exists(ledger_path):
+        return set()
+    led = spark.read.parquet(ledger_path).filter(F.col("run_id") == run_id)
+    return {r["source"] if r["source"] is not None else _NULL_SRC
+            for r in led.select("source").distinct().collect()}
+
+
+def run_with_ledger(
+    spark: SparkSession,
+    df: DataFrame,
+    schema,
+    row_id,
+    run_id: str,
+    ledger_path: str,
+    violations_path: Optional[str] = None,
+    dims: Optional[dict] = None,
+    partition_col: str = "source",
+    fail_partition_limit: int = 0,
+) -> Optional[ValidationResult]:
+    """Validate `df`, skipping partitions already completed under this
+    run_id. `fail_partition_limit` > 0 stops after writing that many
+    partition batches (test hook simulating a mid-run crash).
+
+    Returns the ValidationResult for the partitions processed in THIS
+    invocation (None if everything was already complete).
+    """
+    full_df = df  # uniqueness scope: the global table, never the pruned subset
+    done = completed_partitions(spark, ledger_path, run_id)
+    if done:
+        real = [s for s in done if s != _NULL_SRC]
+        cond = ~F.col(partition_col).isin(real) if real else F.lit(True)
+        if _NULL_SRC in done:
+            cond = cond & F.col(partition_col).isNotNull()
+        else:
+            cond = cond | F.col(partition_col).isNull()
+        df = df.filter(cond)  # partition-pruned re-scan
+
+    remaining = [r[0] for r in df.select(partition_col).distinct().collect()]
+    if not remaining:
+        return None
+    if fail_partition_limit:
+        keep = sorted((s for s in remaining if s is not None))[:fail_partition_limit]
+        cond = F.col(partition_col).isin(keep)
+        df = df.filter(cond)
+
+    started = F.current_timestamp()
+    res = validate(df, schema, row_id, dims=dims, partition_col=partition_col,
+                   uniqueness_scope=full_df)
+
+    if violations_path:
+        res.violations.withColumn("run_id", F.lit(run_id)) \
+            .withColumn("params", F.to_json("params")) \
+            .write.mode("append").parquet(violations_path)
+
+    check_names = (["rowpass"]
+                   + [f"unique_{u.column}" for u in schema.unique_keys]
+                   + [f"ref_{k.column}" for k in schema.foreign_keys])
+    checks = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in check_names]),
+        F.array(*[F.when(F.col("violations") > 0, "fail").otherwise("pass")
+                  for _ in check_names]),
+    )
+    ledger_rows = res.verdicts.select(
+        F.lit(run_id).alias("run_id"),
+        F.spark_partition_id().alias("partition_id"),
+        F.col(partition_col).alias("source"),
+        F.col("rows").cast("long").alias("rows"),
+        F.col("violations").cast("long").alias("violations"),
+        F.col("verdict"),
+        checks.alias("checks"),
+        started.alias("started_at"),
+        F.current_timestamp().alias("finished_at"),
+    )
+    ledger_rows.write.mode("append").parquet(ledger_path)
+    return res
+
+
+def read_ledger(spark: SparkSession, ledger_path: str, run_id: str) -> DataFrame:
+    return (spark.read.parquet(ledger_path)
+            .filter(F.col("run_id") == run_id))

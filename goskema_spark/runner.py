@@ -44,12 +44,20 @@ def validate(
     partition_col: str = "source",
     repartition: int = 0,
     cache_violations: bool = True,
+    uniqueness_scope: Optional[DataFrame] = None,
 ) -> ValidationResult:
     """Run the full check set declared on `schema` against `df`.
 
     cache_violations persists the violations relation (tiny relative to
     the input at any sane violation rate) so that the verdict aggregation
     and any downstream consumer do not recompute the full scan DAG.
+
+    uniqueness_scope: uniqueness is a GLOBAL property — when validating a
+    subset (checkpoint resume), pass the full table here so duplicate
+    detection and first/dup attribution stay identical to an
+    uninterrupted run; the aggregate reads only (key, ordinal, partition)
+    via column pruning, so the extra scan is cheap. Violations are then
+    filtered to df's partitions.
     """
     dims = dims or {}
     if repartition:
@@ -63,9 +71,13 @@ def validate(
     agg_viols = []
     for uk in schema.unique_keys:
         ordinal = uk.ordinal or uk.column
-        agg_viols.append(
-            uniqueness_violations(ann.drop("_violations"), uk.column, ordinal, row_id, carry=carry)
-        )
+        scope = uniqueness_scope if uniqueness_scope is not None else ann.drop("_violations")
+        uv = uniqueness_violations(scope, uk.column, ordinal, row_id, carry=carry)
+        if uniqueness_scope is not None and carry:
+            parts = df.select(F.col(partition_col).alias("_part")).distinct()
+            uv = uv.join(F.broadcast(parts),
+                         F.col(partition_col).eqNullSafe(F.col("_part")), "left_semi")
+        agg_viols.append(uv)
     for fk in schema.foreign_keys:
         dim = dims.get(fk.dim_name)
         if dim is None:

@@ -1,0 +1,77 @@
+"""Checkpoint/resume protocol tests (FIXTURES.md F4): kill after k
+partitions, re-run with the same run_id, assert completed partitions are
+skipped and the final ledger matches an uninterrupted run."""
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from goskema_spark.corpus import corpus_from_documents, corpus_schema, dim_source_df, row_id_col
+from goskema_spark.ledger import read_ledger, run_with_ledger
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ledger_key(rows):
+    return sorted(
+        ((r["source"], r["rows"], r["violations"], r["verdict"]) for r in rows),
+        key=repr,
+    )
+
+
+def test_resume_matches_uninterrupted(spark):
+    corpus = corpus_from_documents(spark, SF)
+    dims = {"dim_source": dim_source_df(spark)}
+    tmp = tempfile.mkdtemp()
+    try:
+        # uninterrupted reference run
+        run_with_ledger(spark, corpus, corpus_schema(), row_id_col(),
+                        run_id="full", ledger_path=f"{tmp}/led_full", dims=dims)
+        full = _ledger_key(read_ledger(spark, f"{tmp}/led_full", "full").collect())
+        assert len(full) > 0
+
+        # interrupted run: only 5 partitions complete, then "crash"
+        run_with_ledger(spark, corpus, corpus_schema(), row_id_col(),
+                        run_id="r1", ledger_path=f"{tmp}/led", dims=dims,
+                        fail_partition_limit=5)
+        partial = read_ledger(spark, f"{tmp}/led", "r1").collect()
+        assert len(partial) == 5
+
+        # resume: same run_id — completed partitions must be skipped
+        res = run_with_ledger(spark, corpus, corpus_schema(), row_id_col(),
+                              run_id="r1", ledger_path=f"{tmp}/led", dims=dims)
+        done_sources = {r["source"] for r in partial}
+        resumed_sources = {r["source"] for r in res.verdicts.collect()}
+        assert not (done_sources & resumed_sources)
+
+        final = _ledger_key(read_ledger(spark, f"{tmp}/led", "r1").collect())
+        assert final == full
+
+        # third run: everything complete -> no-op
+        assert run_with_ledger(spark, corpus, corpus_schema(), row_id_col(),
+                               run_id="r1", ledger_path=f"{tmp}/led", dims=dims) is None
+        assert _ledger_key(read_ledger(spark, f"{tmp}/led", "r1").collect()) == full
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ledger_checks_map_and_null_partition(spark):
+    corpus = corpus_from_documents(spark, SF)
+    dims = {"dim_source": dim_source_df(spark)}
+    tmp = tempfile.mkdtemp()
+    try:
+        run_with_ledger(spark, corpus, corpus_schema(), row_id_col(),
+                        run_id="x", ledger_path=f"{tmp}/led", dims=dims,
+                        violations_path=f"{tmp}/viols")
+        led = read_ledger(spark, f"{tmp}/led", "x").collect()
+        # NULL source is a logical partition with its own ledger row
+        assert any(r["source"] is None for r in led)
+        by_src = {r["source"]: r for r in led}
+        assert set(by_src["parachute"]["checks"].keys()) == {
+            "rowpass", "unique_doc_id", "ref_source"}
+        assert by_src["parachute"]["verdict"] == "fail"
+        viols = spark.read.parquet(f"{tmp}/viols")
+        assert viols.filter(F.col("run_id") == "x").count() > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
