@@ -204,6 +204,126 @@ def _q_clean_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# training-data ops queries (documents / embeddings / events tables)
+# --------------------------------------------------------------------------
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goskema_spark.ops.textops import text_profile
+    prof = text_profile(_docs(spark, sf_dir))
+    return prof.select(
+        "doc_id",
+        F.col("n_tok_ws").cast("bigint").alias("n_tok_ws"),
+        F.col("n_tok_re").cast("bigint").alias("n_tok_re"),
+        "lang_pred",
+        F.col("stopword_ratio").cast("double").alias("stopword_ratio"),
+        F.col("quality").cast("double").alias("quality"),
+        F.col("fp_norm"),
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a prefix fingerprint (first 3 words) — boilerplate-
+    prefix dedup; gives non-trivial groups on synthetic data."""
+    from goskema_spark.ops.dedup import exact_duplicates
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 3)).alias("text"),
+    )
+    d = exact_duplicates(docs)
+    return d.select("fp", F.col("cnt").cast("bigint").alias("cnt"),
+                    F.col("keep_id").cast("bigint").alias("keep_id"))
+
+
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goskema_spark.ops.dedup import minhash_candidate_pairs
+    p = minhash_candidate_pairs(_docs(spark, sf_dir))
+    return p.select(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"))
+
+
+def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goskema_spark.ops.dedup import jaccard_pairs
+    p = jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return p.select(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"),
+                    F.col("inter").cast("bigint"), F.col("n_a").cast("bigint"),
+                    F.col("n_b").cast("bigint"), F.col("jaccard").cast("double"))
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goskema_spark.ops.dedup import simhash_signatures
+    return simhash_signatures(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "simhash")
+
+
+def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goskema_spark.ops.similarity import brute_force_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    t = brute_force_topk(emb, queries_df, k=5)
+    return t.select(F.col("q_id").cast("bigint"), F.col("neighbor_id").cast("bigint"),
+                    F.col("rank").cast("bigint"), F.col("cos").cast("double"))
+
+
+def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events stream table (the batch
+    twin of the Structured Streaming pipeline in goskema_spark.streaming)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# relational coverage (TPC-H-style, built-in operators end-to-end)
+# --------------------------------------------------------------------------
+
+def _q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"),
+             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n"))
+        .select("l_returnflag", "l_linestatus",
+                F.round("sum_qty", 2).alias("sum_qty"), "revenue",
+                F.col("n").cast("bigint").alias("n"))
+    )
+
+
+def _q_tpch_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+
+
+def _q_tpch_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select(F.col("o_custkey").cast("bigint"), F.col("o_orderkey").cast("bigint"),
+                F.round("o_totalprice", 2).alias("o_totalprice"),
+                F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rowpass_violations": _q_rowpass,
@@ -214,7 +334,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntok_quantiles": _q_quantiles,
         "verdicts_by_source": _q_verdicts,
         "clean_token_checksum": _q_clean_checksum,
+        "text_profile": _q_text_profile,
+        "dedup_exact_prefix": _q_dedup_exact,
+        "minhash_candidates": _q_minhash,
+        "ngram_jaccard_pairs": _q_jaccard,
+        "simhash_signatures": _q_simhash,
+        "embedding_cosine_topk": _q_embedding_topk,
+        "events_hourly_window": _q_events_window,
+        "tpch_pricing_summary": _q_tpch_pricing,
+        "tpch_segment_revenue": _q_tpch_segment_revenue,
+        "tpch_top_orders_per_customer": _q_tpch_top_orders,
     }
+
+
+_SHINGLES_CTE = """
+wrd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ws) >= 3
+         THEN list_transform(range(0, len(ws) - 3 + 1),
+                             i -> array_to_string(ws[i+1:i+3], ' '))
+         ELSE CAST([] AS VARCHAR[]) END)) AS s
+  FROM wrd)
+"""
+
+_STOP_IN = "('the','a','of','and','to','in','is','it','for','on')"
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        "SUM(CASE WHEN substring(md5(w), {k}, 1) IN "
+        "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{k}".format(k=k)
+        for k in range(1, 17))
+    bits = " || ".join(f"CASE WHEN s{k} >= 0 THEN '1' ELSE '0' END" for k in range(1, 17))
+    return f"""
+WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+b AS (SELECT doc_id, {sums} FROM wd GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {bits} AS simhash FROM b"""
+
+
+def _minhash_sql() -> str:
+    sig_cols = ", ".join(f"MIN(md5('{j}|' || s)) AS sig_{j}" for j in range(8))
+    bands = "\nUNION ALL\n".join(
+        f"SELECT {b} AS band, md5(sig_{2*b} || '|' || sig_{2*b+1}) AS bucket, doc_id FROM sigs"
+        for b in range(4))
+    return f"""
+WITH {_SHINGLES_CTE},
+sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+buckets AS ({bands}),
+ok AS (SELECT band, bucket FROM buckets GROUP BY band, bucket
+       HAVING COUNT(*) > 1 AND COUNT(*) <= 1000)
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b
+FROM buckets a
+JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket"""
+
+
+_TEXT_PROFILE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws,
+    len(list_filter(string_split(text, ' '), x -> x IN {_STOP_IN}))
+      / greatest(len(string_split(text, ' ')), 1) AS swr,
+    length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+      / greatest(length(text), 1) AS pr
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(len(ws) AS BIGINT) AS n_tok_ws,
+  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_tok_re,
+  CASE WHEN swr >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_pred,
+  ROUND(swr, 6) AS stopword_ratio,
+  ROUND((least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0)
+       + least(swr * 5.0, 1.0)
+       + (1.0 - least(pr * 10.0, 1.0))) / 3.0, 6) AS quality,
+  md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp_norm
+FROM t"""
+
+
+_COS_SQL = """ROUND(
+  list_sum(list_transform(list_zip(q.q_vec, e.embedding),
+           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+   * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -222,6 +422,61 @@ def oracle_sql() -> dict[str, str]:
     uniq = _uniq_viols_sql()
     ref = _ref_viols_sql()
     return {
+        "text_profile": _TEXT_PROFILE_SQL,
+        "dedup_exact_prefix": """
+WITH p AS (SELECT doc_id,
+  md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS fp FROM documents)
+SELECT fp, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(MIN(doc_id) AS BIGINT) AS keep_id
+FROM p GROUP BY fp HAVING COUNT(*) > 1""",
+        "minhash_candidates": _minhash_sql(),
+        "ngram_jaccard_pairs": f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+  CAST(inter AS BIGINT) AS inter, CAST(sa.n_sh AS BIGINT) AS n_a,
+  CAST(sb.n_sh AS BIGINT) AS n_b,
+  ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5""",
+        "simhash_signatures": _simhash_sql(),
+        "embedding_cosine_topk": f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id, {_COS_SQL} AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT CAST(q_id AS BIGINT) AS q_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rank AS BIGINT) AS rank, cos
+FROM ranked WHERE rank <= 5""",
+        "events_hourly_window": """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2""",
+        "tpch_pricing_summary": """
+SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2""",
+        "tpch_segment_revenue": """
+SELECT c_mktsegment, ROUND(SUM(o_totalprice), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""",
+        "tpch_top_orders_per_customer": """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       ROUND(o_totalprice, 2) AS o_totalprice, CAST(rk AS BIGINT) AS rk
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders) WHERE rk <= 2""",
         "rowpass_violations": _with_corpus(
             f"SELECT row_id, path, code, rule FROM ({rowpass})"),
         "uniqueness_violations": _with_corpus(

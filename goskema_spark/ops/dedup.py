@@ -1,0 +1,195 @@
+"""Deduplication operators over the `documents` table.
+
+Scale design notes (the 100 TB story for each):
+
+  exact            one hash aggregate on md5(text): partial+final combine,
+                   no pre-shuffle of payloads — only (fp, doc_id) shuffles.
+  minhash LSH      shingle -> K minhashes per doc (one explode + one
+                   groupBy), then band keys; candidate pairs come from a
+                   self-join ON the band bucket — join fan-out is bounded
+                   by bucket size, never all-pairs. AQE handles hot
+                   buckets; a bucket-size cap drops degenerate buckets
+                   (boilerplate shingles) exactly like production dedup
+                   pipelines do.
+  n-gram Jaccard   exact verification on candidate pairs only (or, at
+                   test scale, on all pairs sharing a shingle).
+  simhash          per-doc 16-bit signature via one projection; near-dup
+                   pairs via banded prefix buckets on the signature.
+  embedding        cosine near-dup via normalized dot product; candidate
+                   generation via sign-LSH buckets (ops/similarity.py).
+
+MinHash uses lexicographic MIN over md5(perm || shingle) hex strings —
+engine-portable (identical in Spark and any SQL oracle), deterministic,
+and as uniform as the md5 low bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+NUM_PERM = 8
+BAND_ROWS = 2  # bands of 2 signatures -> 4 bands
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as distinct strings."""
+    w = F.split(text, " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
+    gram = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
+    return F.array_distinct(F.when(F.size(w) >= n, gram).otherwise(F.array()))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: fingerprint groups with >1 member.
+    Returns (fp, cnt, keep_id) where keep_id is the smallest member id —
+    the canonical survivor."""
+    fp = F.md5(F.col(text_col)).alias("fp")
+    return (
+        df.select(fp, F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_perm: int = NUM_PERM,
+                       shingle_n: int = 3) -> DataFrame:
+    """(id, sig_0..sig_{K-1}): minhash per permutation.
+    One projection — the min over shingles is a vectorized array
+    aggregate, no explode/shuffle needed."""
+    sh = shingles(F.col(text_col), shingle_n)
+
+    def perm_hash(j):
+        return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
+
+    cols = [F.col(id_col)]
+    for j in range(num_perm):
+        mh = F.array_min(F.transform(sh, perm_hash(j)))
+        cols.append(mh.alias(f"sig_{j}"))
+    return df.filter(F.size(sh) > 0).select(*cols)
+
+
+def minhash_band_buckets(sigs: DataFrame, id_col: str = "doc_id",
+                         num_perm: int = NUM_PERM,
+                         band_rows: int = BAND_ROWS) -> DataFrame:
+    """(band, bucket, id): LSH band buckets."""
+    out = []
+    for b in range(num_perm // band_rows):
+        parts = [F.col(f"sig_{b * band_rows + r}") for r in range(band_rows)]
+        out.append(sigs.select(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *parts)).alias("bucket"),
+            F.col(id_col),
+        ))
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", num_perm: int = NUM_PERM,
+                            band_rows: int = BAND_ROWS,
+                            max_bucket: int = 1000) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any LSH band bucket.
+    Buckets larger than max_bucket are dropped (degenerate shingles) —
+    the standard guard against quadratic fan-out on boilerplate."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm)
+    buckets = minhash_band_buckets(sigs, id_col, num_perm, band_rows)
+    sizes = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+    buckets = (buckets.join(sizes, ["band", "bucket"])
+               .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
+               .drop("_n"))
+    a = buckets.select("band", "bucket", F.col(id_col).alias("id_a"))
+    b = buckets.select("band", "bucket", F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  shingle_n: int = 3, threshold: float = 0.5,
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle (or
+    restricted to `candidates` (id_a, id_b) when given).
+    Returns (id_a, id_b, inter, n_a, n_b, jaccard) with jaccard >= threshold."""
+    sh = df.select(F.col(id_col).alias("_id"),
+                   F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"))
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("_id").alias("id_a"), "sh")
+    b = sh.select(F.col("_id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", F.round(
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
+
+
+SIMHASH_BITS = 16
+
+
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Bit-string simhash: bit k = sign of sum over words of ±1 where the
+    k-th hex digit of md5(word) has its high bit set. Pure expressions;
+    hex-digit test keeps it portable across engines."""
+    w = F.split(text, " ")
+
+    def bit_sum(k):
+        def step(acc, x):
+            hit = F.substring(F.md5(x), k + 1, 1).isin(
+                "8", "9", "a", "b", "c", "d", "e", "f")
+            return acc + F.when(hit, 1).otherwise(-1)
+        return F.aggregate(w, F.lit(0), step)
+
+    digits = [F.when(bit_sum(k) >= 0, F.lit("1")).otherwise(F.lit("0"))
+              for k in range(bits)]
+    return F.concat(*digits)
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", bits: int = SIMHASH_BITS) -> DataFrame:
+    return df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", bits: int = SIMHASH_BITS,
+                       max_hamming: int = 3, band_bits: int = 4) -> DataFrame:
+    """Near-dup pairs by simhash: candidates share one of bits/band_bits
+    signature bands (a pair within hamming distance d < #bands must agree
+    on at least one band), verified by exact hamming distance."""
+    sigs = simhash_signatures(df, text_col, id_col, bits)
+    bands = None
+    for b in range(bits // band_bits):
+        part = sigs.select(
+            F.lit(b).alias("band"),
+            F.substring("simhash", b * band_bits + 1, band_bits).alias("bucket"),
+            F.col(id_col), F.col("simhash"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select("band", "bucket", F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"))
+    b = bands.select("band", "bucket", F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"))
+    pairs = (a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sig_a", "sig_b").distinct())
+    ham = F.size(F.filter(
+        F.zip_with(F.split("sig_a", ""), F.split("sig_b", ""), lambda x, y: x != y),
+        lambda v: v))
+    return (pairs.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

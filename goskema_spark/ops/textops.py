@@ -1,0 +1,95 @@
+"""Text analysis over the `documents` table: token counting, language-ID
+heuristic, quality scoring, document fingerprinting.
+
+Every function is a pure Column-expression builder (whole-stage codegen,
+no Python in the row path). At 100 TB these run inside the same scan as
+any other projection — zero extra shuffles; only the aggregating callers
+(`groupBy(lang)`, dedup) shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tiny English stopword set for the n-gram/stopword language heuristic
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+# BPE-ish token pattern: letter runs, digit runs, single punctuation
+TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def words(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text))
+
+
+def token_count_re(text: Column) -> Column:
+    """Regex (BPE-ish) token count."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), F.lit(0)))
+
+
+def stopword_ratio(text: Column) -> Column:
+    w = words(text)
+    hits = F.size(F.filter(w, lambda x: x.isin(STOPWORDS)))
+    return hits / F.greatest(F.size(w), F.lit(1))
+
+
+def lang_id(text: Column, threshold: float = 0.05) -> Column:
+    """Stopword-ratio heuristic: 'en' when common English function words
+    exceed `threshold` of tokens, else 'unknown'."""
+    return F.when(stopword_ratio(text) >= threshold, "en").otherwise("unknown")
+
+
+def avg_word_len(text: Column) -> Column:
+    w = words(text)
+    total = F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    return total / F.greatest(F.size(w), F.lit(1))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not [a-z0-9 ] (lowercased)."""
+    stripped = F.regexp_replace(F.lower(text), "[a-z0-9 ]", "")
+    return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic 0..1 quality heuristic: rewards mid-length documents
+    with low punctuation density and some stopword mass (the standard
+    pretraining-corpus quality signals, expressed as one codegen'd
+    expression)."""
+    n = token_count_ws(text)
+    len_term = F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
+    sw_term = F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 10.0, F.lit(1.0))
+    return F.round((len_term + sw_term + punct_term) / 3.0, 6)
+
+
+def fingerprint(text: Column) -> Column:
+    """Exact-dup fingerprint: md5 of the raw text."""
+    return F.md5(text)
+
+
+def normalized_fingerprint(text: Column) -> Column:
+    """Normalization-robust fingerprint: lowercase, collapse whitespace."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), " +", " ")))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All text-analysis columns in one projection."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count_ws(t).alias("n_tok_ws"),
+        token_count_re(t).alias("n_tok_re"),
+        lang_id(t).alias("lang_pred"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(avg_word_len(t), 6).alias("avg_word_len"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fp"),
+        normalized_fingerprint(t).alias("fp_norm"),
+    )

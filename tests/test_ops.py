@@ -1,0 +1,116 @@
+"""Tests for training-data operators: dedup, similarity, text analysis."""
+
+from pyspark.sql import functions as F, types as T
+
+from goskema_spark.ops.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_candidate_pairs,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from goskema_spark.ops.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_topk,
+)
+from goskema_spark.ops.textops import text_profile
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _mini_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (4, "completely different words entirely here now"),
+        (5, "alpha beta"),                                    # < 3 words: no shingles
+    ]
+    return spark.createDataFrame(rows, T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), False),
+    ]))
+
+
+def test_exact_duplicates(spark):
+    d = exact_duplicates(_mini_docs(spark)).collect()
+    assert len(d) == 1 and d[0]["cnt"] == 2 and d[0]["keep_id"] == 1
+
+
+def test_minhash_finds_near_dups(spark):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in minhash_candidate_pairs(_mini_docs(spark)).collect()}
+    assert (1, 3) in pairs  # exact dup always collides in every band
+    assert (1, 2) in pairs or (2, 3) in pairs  # near-dup shares most shingles
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def test_jaccard_exact_values(spark):
+    pairs = {(r["id_a"], r["id_b"]): r for r in
+             jaccard_pairs(_mini_docs(spark), threshold=0.3).collect()}
+    assert pairs[(1, 3)]["jaccard"] == 1.0
+    # docs 1/2 share 6 of 7+7 distinct 3-gram shingles: j = 6/8
+    assert abs(pairs[(1, 2)]["jaccard"] - 0.75) < 1e-9
+
+
+def test_simhash_near_pairs(spark):
+    sigs = {r["doc_id"]: r["simhash"] for r in
+            simhash_signatures(_mini_docs(spark)).collect()}
+    assert sigs[1] == sigs[3]  # identical text -> identical signature
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_near_pairs(_mini_docs(spark), max_hamming=4).collect()}
+    assert pairs[(1, 3)] == 0
+
+
+def test_brute_force_vs_lsh_topk(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    exact = brute_force_topk(emb, queries, k=5)
+    assert exact.groupBy("q_id").count().filter("count != 5").count() == 0
+    # cosine in [-1, 1]; rank 1 has the max cos per query
+    r1 = {r["q_id"]: r["cos"] for r in exact.filter("rank = 1").collect()}
+    allc = exact.collect()
+    assert all(-1.0001 <= r["cos"] <= 1.0001 for r in allc)
+    for r in allc:
+        assert r["cos"] <= r1[r["q_id"]] + 1e-9
+    # LSH variant: candidates only from matching bucket; results must be a
+    # subset of the brute-force ordering semantics (same scoring expression)
+    approx = lsh_topk(emb, queries, k=5, n_bits=4)
+    exact_set = {(r["q_id"], r["neighbor_id"]) for r in allc}
+    got = approx.collect()
+    assert len(got) > 0  # bucket contains at least some neighbors
+    # every LSH hit that brute-force also ranked must agree on the score
+    exact_scores = {(r["q_id"], r["neighbor_id"]): r["cos"] for r in allc}
+    for r in got:
+        key = (r["q_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(r["cos"] - exact_scores[key]) < 1e-9
+
+
+def test_embedding_near_duplicates_threshold(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # add an exact duplicate vector with a new id -> must be found at cos=1
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding",
+        F.col("label"))
+    pairs = embedding_near_duplicates(emb.unionByName(dup), threshold=0.999)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 100000) in found
+
+
+def test_text_profile_columns(spark):
+    prof = text_profile(_docs(spark))
+    row = prof.filter(F.col("doc_id") == 0).collect()[0]
+    assert row["n_tok_ws"] >= 1
+    assert 0.0 <= row["quality"] <= 1.0
+    assert row["lang_pred"] in ("en", "unknown")
+    assert len(row["fp"]) == 32
+    # deterministic: same text -> same fingerprint
+    again = text_profile(_docs(spark)).filter(F.col("doc_id") == 0).collect()[0]
+    assert again["fp"] == row["fp"] and again["quality"] == row["quality"]
