@@ -108,11 +108,17 @@ def main():
         _, _, clean = validate_rows(load(), schema, row_id_col())
         clean.select(F.sum("n_tok")).write.format("noop").mode("overwrite").save()
 
-    bench("full_validation", q_full)
-    bench("rowpass", q_rowpass)
-    bench("stats_profile", q_stats)
-    bench("ntok_histogram", q_hist)
-    bench("clean_scan", q_clean_scan)
+    all_queries = {
+        "full_validation": q_full,
+        "rowpass": q_rowpass,
+        "stats_profile": q_stats,
+        "ntok_histogram": q_hist,
+        "clean_scan": q_clean_scan,
+    }
+    only = os.environ.get("GSK_QUERIES", "")
+    selected = only.split(",") if only else list(all_queries)
+    for name in selected:
+        bench(name, all_queries[name])
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -124,7 +130,8 @@ def main():
         "rows": n_rows,
         "cpus": CPUS,
         "replicate": REPLICATE,
-        "seq_per_sec": round(n_rows / timings["full_validation"], 1),
+        "seq_per_sec": (round(n_rows / timings["full_validation"], 1)
+                        if "full_validation" in timings else None),
     }
     print(json.dumps(out))
 

@@ -1,0 +1,86 @@
+"""Structured Streaming surface.
+
+goskema's "streaming" is incremental token parsing of one document
+(reference README.md:281-308, dsl/object_stream.go) — NOT event-time
+stream processing. The distributed analog the north star asks for is:
+validate micro-batches of an unbounded corpus stream and maintain
+event-time windowed aggregates with late-data handling.
+
+Two pieces:
+
+  validate_stream  readStream -> foreachBatch(batch validator) — the
+                   whole batch check set (row pass + referential) runs
+                   per micro-batch; violations/ledger rows append to
+                   sinks. Uniqueness within a micro-batch is exact;
+                   global streaming uniqueness would need state
+                   (dropDuplicates withWatermark) and is exposed via
+                   `dedup_stream`.
+  windowed_counts  watermarked tumbling-window aggregation (late rows
+                   beyond the watermark are dropped by Spark's state
+                   eviction — the streaming analog of the drift
+                   histogram).
+  dedup_stream     watermarked streaming dropDuplicates on doc_id —
+                   streaming uniqueness enforcement.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from goskema_spark.runner import validate
+from goskema_spark.schema import TableSchema
+
+
+def validate_stream(
+    stream_df: DataFrame,
+    schema: TableSchema,
+    row_id,
+    dims: Optional[dict] = None,
+    on_batch: Optional[Callable] = None,
+    violations_sink: Optional[str] = None,
+    checkpoint: Optional[str] = None,
+):
+    """Attach the batch validator to a streaming DataFrame via
+    foreachBatch. Returns the DataStreamWriter (caller starts it with
+    .trigger(...).start() or availableNow)."""
+
+    def process(batch_df: DataFrame, batch_id: int):
+        res = validate(batch_df, schema, row_id, dims=dims,
+                       cache_violations=False)
+        viols = res.violations.withColumn("batch_id", F.lit(batch_id)) \
+            .withColumn("params", F.to_json("params"))
+        if violations_sink:
+            viols.write.mode("append").parquet(violations_sink)
+        if on_batch is not None:
+            on_batch(res, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(process)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def windowed_counts(stream_df: DataFrame, ts_col: str = "ts",
+                    key_col: str = "event_type", window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation — late data beyond
+    `watermark` is dropped, state is evicted (bounded memory at scale)."""
+    # watermarks need TIMESTAMP (with tz); parquet TIMESTAMP_NTZ is cast
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), key_col, "n", "sum_value")
+    )
+
+
+def dedup_stream(stream_df: DataFrame, key: str = "doc_id",
+                 ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
+    """Streaming uniqueness: exactly-once keys within the watermark
+    horizon (state-store-backed dropDuplicates)."""
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicates([key, ts_col])
