@@ -1,0 +1,209 @@
+"""Raw-JSON ingest path: the token-layer semantics of the reference that
+are unreachable after `from_json` (SURVEY §7.3) — duplicate-key detection
+(reference internal/engine/enforce.go:116-136), MaxDepth / MaxBytes
+guards (enforce.go:69-101, 147-155), presence bits
+Seen/WasNull/DefaultApplied (presence.go:11-15), unknown-key policy at
+the token layer (dsl/object_stream.go:78-135), and preserving re-encode
+(encode_preserve.go:11-28).
+
+Executed as ONE Arrow-batched `mapInPandas` pass — Python per *batch*,
+never per-row-per-expression; this is the documented slow path and only
+runs on raw JSON ingest, mirroring goskema where these checks exist only
+in the tokenizer. Columnar inputs (Parquet/Iceberg) never pass through
+here.
+
+Presence bits (presence.go:11-15): 1 = Seen, 2 = WasNull,
+4 = DefaultApplied.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from goskema_spark.issues import Codes, escape_pointer_token, message_for
+from goskema_spark.schema import TableSchema
+
+PRESENCE_SEEN = 1
+PRESENCE_WAS_NULL = 2
+PRESENCE_DEFAULT_APPLIED = 4
+
+
+@dataclass
+class ParseOpts:
+    """Mirror of reference ParseOpt (types.go:51-58)."""
+
+    max_depth: int = 0          # 0 = unlimited
+    max_bytes: int = 0          # 0 = unlimited
+    on_duplicate_key: str = "error"  # 'error' | 'warn' | 'ignore'
+    fail_fast: bool = False
+    collect_presence: bool = True
+
+
+class _Obj:
+    """Marker wrapping raw key/value pairs so duplicate keys survive
+    json.loads (object_pairs_hook)."""
+
+    __slots__ = ("pairs",)
+
+    def __init__(self, pairs):
+        self.pairs = pairs
+
+
+def _walk(node, path: str, depth: int, opts: ParseOpts, issues: list,
+          presence: dict):
+    """Recursively convert the pair-preserving tree into plain values,
+    recording duplicate keys, depth violations, and presence bits with
+    RFC6901 paths."""
+    if opts.max_depth and depth > opts.max_depth:
+        issues.append((path, Codes.PARSE_ERROR, "max depth exceeded", "max_depth"))
+        return None
+    if isinstance(node, _Obj):
+        out = {}
+        for k, v in node.pairs:
+            kp = f"{path}/{escape_pointer_token(k)}"
+            if k in out and opts.on_duplicate_key != "ignore":
+                issues.append((kp, Codes.DUPLICATE_KEY,
+                               message_for(Codes.DUPLICATE_KEY), "duplicate_key"))
+                if opts.on_duplicate_key == "warn":
+                    pass  # recorded but later value still wins, like Warn severity
+            out[k] = _walk(v, kp, depth + 1, opts, issues, presence)
+            bits = presence.get(kp, 0) | PRESENCE_SEEN
+            if out[k] is None and not isinstance(out[k], (_Obj,)):
+                if v is None:
+                    bits |= PRESENCE_WAS_NULL
+            presence[kp] = bits
+        return out
+    if isinstance(node, list):
+        return [
+            _walk(v, f"{path}/{i}", depth + 1, opts, issues, presence)
+            for i, v in enumerate(node)
+        ]
+    return node
+
+
+def parse_document(payload: str, schema: TableSchema, opts: ParseOpts):
+    """Parse + enforce + apply schema to ONE document. Returns
+    (values: dict, presence: dict[path->bits], issues: list[tuple])."""
+    issues: list = []
+    presence: dict = {}
+    if opts.max_bytes and len(payload.encode("utf-8")) > opts.max_bytes:
+        issues.append(("", Codes.TRUNCATED, message_for(Codes.TRUNCATED), "max_bytes"))
+        return {f.name: None for f in schema.fields}, presence, issues
+    try:
+        raw = json.loads(payload, object_pairs_hook=lambda p: _Obj(p))
+    except (ValueError, RecursionError):
+        issues.append(("", Codes.PARSE_ERROR, message_for(Codes.PARSE_ERROR), "json"))
+        return {f.name: None for f in schema.fields}, presence, issues
+    tree = _walk(raw, "", 0, opts, issues, presence)
+    if not isinstance(tree, dict):
+        issues.append(("", Codes.INVALID_TYPE, message_for(Codes.INVALID_TYPE), "root"))
+        return {f.name: None for f in schema.fields}, presence, issues
+
+    declared = {f.name for f in schema.fields}
+    # unknown-key policy (types.go:4-10), sorted for deterministic order
+    # (reference api_error_model_test.go:49-71)
+    unknown = sorted(k for k in tree if k not in declared)
+    passthrough = {}
+    for k in unknown:
+        if schema.unknown == "strict":
+            issues.append((f"/{escape_pointer_token(k)}", Codes.UNKNOWN_KEY,
+                           message_for(Codes.UNKNOWN_KEY), "unknown_strict"))
+        elif schema.unknown == "passthrough":
+            passthrough[k] = tree[k]
+
+    values = {}
+    for f in sorted(schema.fields, key=lambda x: x.name):
+        kp = f"/{escape_pointer_token(f.name)}"
+        if f.name in tree:
+            values[f.name] = tree[f.name]
+        elif f.default is not None:
+            values[f.name] = f.default
+            presence[kp] = presence.get(kp, 0) | PRESENCE_DEFAULT_APPLIED
+        else:
+            values[f.name] = None
+            if f.required:
+                issues.append((kp, Codes.REQUIRED,
+                               message_for(Codes.REQUIRED), "required"))
+    if schema.passthrough_target and passthrough:
+        values[schema.passthrough_target] = {
+            k: json.dumps(v) for k, v in passthrough.items()}
+
+    if opts.fail_fast and issues:
+        issues = issues[:1]
+    return values, presence, issues
+
+
+def encode_preserving(values: dict, presence: dict, schema: TableSchema) -> str:
+    """Preserving encode (reference encode_preserve.go:11-28): missing
+    stays missing, explicit null stays null, default-only fields are
+    dropped from the output."""
+    out = {}
+    for f in schema.fields:
+        kp = f"/{escape_pointer_token(f.name)}"
+        bits = presence.get(kp, 0)
+        if bits & PRESENCE_DEFAULT_APPLIED and not bits & PRESENCE_SEEN:
+            continue  # default-materialized only: drop
+        if not bits & PRESENCE_SEEN:
+            continue  # never present: stay missing
+        out[f.name] = values.get(f.name)
+    return json.dumps(out, separators=(",", ":"), sort_keys=True)
+
+
+def _out_type(schema: TableSchema) -> T.StructType:
+    fields = [T.StructField(f.name, f.spark_type(), True) for f in schema.fields]
+    if schema.passthrough_target:
+        fields.append(T.StructField(schema.passthrough_target,
+                                    T.MapType(T.StringType(), T.StringType()), True))
+    fields += [
+        T.StructField("_presence", T.MapType(T.StringType(), T.IntegerType()), True),
+        T.StructField("_ingest_violations", T.ArrayType(T.StructType([
+            T.StructField("path", T.StringType()),
+            T.StructField("code", T.StringType()),
+            T.StructField("message", T.StringType()),
+            T.StructField("rule", T.StringType()),
+        ])), True),
+        T.StructField("_encoded", T.StringType(), True),
+    ]
+    return T.StructType(fields)
+
+
+def ingest_json(df: DataFrame, schema: TableSchema,
+                payload_col: str = "payload",
+                opts: Optional[ParseOpts] = None) -> DataFrame:
+    """Parse a raw-JSON column into declared columns + presence map +
+    ingest violations + preserving re-encode. One mapInPandas pass."""
+    opts = opts or ParseOpts()
+    out_type = _out_type(schema)
+    field_names = [f.name for f in out_type.fields]
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for payload in pdf[payload_col]:
+                values, presence, issues = parse_document(str(payload), schema, opts)
+                rec = dict(values)
+                rec["_presence"] = presence if opts.collect_presence else None
+                rec["_ingest_violations"] = [
+                    {"path": p, "code": c, "message": m, "rule": r}
+                    for (p, c, m, r) in issues
+                ]
+                rec["_encoded"] = encode_preserving(values, presence, schema)
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=field_names)
+
+    return df.mapInPandas(run, out_type)
+
+
+def ingest_violations_df(parsed: DataFrame, row_id) -> DataFrame:
+    """Explode _ingest_violations into the standard violations shape."""
+    v = parsed.withColumn("_rid", row_id).select(
+        F.col("_rid").alias("row_id"),
+        F.explode("_ingest_violations").alias("v"))
+    return v.select("row_id", "v.path", "v.code", "v.message", "v.rule",
+                    F.lit(None).cast("map<string,string>").alias("params"))

@@ -1,0 +1,120 @@
+"""Raw-JSON ingest tests — F6 fixtures (FIXTURES.md): token-layer
+semantics mirroring reference parse_enforce_test.go:25-91,
+api_error_model_test.go:14-71, array_stream_integration_test.go:11-89."""
+
+import json
+
+from pyspark.sql import functions as F, types as T
+
+from goskema_spark import schema as S
+from goskema_spark.ingest import (
+    PRESENCE_DEFAULT_APPLIED,
+    PRESENCE_SEEN,
+    PRESENCE_WAS_NULL,
+    ParseOpts,
+    ingest_json,
+    ingest_violations_df,
+)
+
+DOCS = [
+    '{"doc_id":"j1","tokens":[1,2],"n_tok":2,"source":"web"}',          # valid
+    '{"doc_id":"j2","tokens":[1],"n_tok":1,"source":"web","zzz":1}',    # unknown_key
+    '{"doc_id":"j3","doc_id":"j3b","tokens":[1],"n_tok":1,"source":"web"}',  # dup key
+    '{"doc_id":"j4","tokens":null,"n_tok":0,"source":"web"}',           # WasNull
+    '{"doc_id":"j5","tokens":[1],"source":"web"}',                      # default n_tok
+    '{"doc_id":"j6","tokens":[1],"n_tok":1,"source":"web","pad":"' + "x" * 300 + '"}',  # > max_bytes
+    '{"doc_id":"j7","tokens":[1],"n_tok":1,"source":"web","deep":{"a":{"b":{"c":1}}}}',  # > max_depth
+    '{"tokens":[1],"n_tok":1,"source":"web"}',                          # missing doc_id
+    'not json at all',                                                   # parse_error
+]
+
+
+def _schema():
+    return S.table(
+        S.field("doc_id", "string", required=True),
+        S.field("tokens", S.array("int32"), required=True),
+        S.field("n_tok", "int32", default=0),
+        S.field("source", "string", required=True),
+        unknown="strict",
+    )
+
+
+def _parsed(spark, opts=None):
+    df = spark.createDataFrame([(d,) for d in DOCS], T.StructType(
+        [T.StructField("payload", T.StringType(), False)]))
+    return ingest_json(df, _schema(),
+                       opts=opts or ParseOpts(max_depth=3, max_bytes=256))
+
+
+def test_ingest_codes_and_paths(spark):
+    parsed = _parsed(spark)
+    rid = F.coalesce(F.col("doc_id"), F.lit("?"))
+    viols = ingest_violations_df(parsed, rid)
+    got = {(r["row_id"], r["path"], r["code"]) for r in viols.collect()}
+    assert ("j2", "/zzz", "unknown_key") in got
+    assert ("j3b", "/doc_id", "duplicate_key") in got  # later value wins, like the reference
+    # MaxBytes aborts before parsing (parse.go:154-169) -> no doc_id value
+    assert ("?", "", "truncated") in got
+    assert ("?", "/doc_id", "required") in got
+    assert ("?", "", "parse_error") in got
+    # max_depth: nesting beyond 3 -> parse_error at the offending path
+    assert ("j7", "/deep/a/b/c", "parse_error") in got
+
+
+def test_presence_bits(spark):
+    rows = {r["doc_id"]: r for r in _parsed(spark).collect()}
+    # j4: tokens explicitly null -> Seen + WasNull (presence.go:11-15)
+    p4 = rows["j4"]["_presence"]
+    assert p4["/tokens"] & PRESENCE_SEEN and p4["/tokens"] & PRESENCE_WAS_NULL
+    # j5: n_tok missing with default -> DefaultApplied, not Seen
+    p5 = rows["j5"]["_presence"]
+    assert p5["/n_tok"] == PRESENCE_DEFAULT_APPLIED
+    assert rows["j5"]["n_tok"] == 0
+    # j1: plain field -> Seen only
+    assert rows["j1"]["_presence"]["/doc_id"] == PRESENCE_SEEN
+
+
+def test_preserving_encode(spark):
+    rows = {r["doc_id"]: r for r in _parsed(spark).collect()}
+    # default-applied n_tok is dropped on re-encode (encode_preserve.go:11-28)
+    enc5 = json.loads(rows["j5"]["_encoded"])
+    assert "n_tok" not in enc5 and enc5["doc_id"] == "j5"
+    # explicit null tokens stays null
+    enc4 = json.loads(rows["j4"]["_encoded"])
+    assert "tokens" in enc4 and enc4["tokens"] is None
+    # round-trip of a fully-present doc keeps all fields
+    enc1 = json.loads(rows["j1"]["_encoded"])
+    assert enc1 == {"doc_id": "j1", "tokens": [1, 2], "n_tok": 2, "source": "web"}
+
+
+def test_fail_fast_collects_single_issue(spark):
+    multi = ['{"zzz":1,"yyy":2,"tokens":[1],"n_tok":1,"source":"web"}']
+    import pyspark.sql.types as T2
+    df = spark.createDataFrame([(d,) for d in multi], T2.StructType(
+        [T2.StructField("payload", T2.StringType(), False)]))
+    collect = ingest_json(df, _schema(), opts=ParseOpts()).collect()[0]
+    ff = ingest_json(df, _schema(), opts=ParseOpts(fail_fast=True)).collect()[0]
+    assert len(collect["_ingest_violations"]) >= 3  # yyy, zzz unknown + doc_id required
+    assert len(ff["_ingest_violations"]) == 1
+    # deterministic order: unknown keys sorted ascending (api_error_model_test.go:49-71)
+    codes = [(v["path"], v["code"]) for v in collect["_ingest_violations"]]
+    ypos = codes.index(("/yyy", "unknown_key"))
+    zpos = codes.index(("/zzz", "unknown_key"))
+    assert ypos < zpos
+
+
+def test_passthrough_policy(spark):
+    sch = S.table(
+        S.field("doc_id", "string", required=True),
+        S.field("tokens", S.array("int32"), required=True),
+        S.field("n_tok", "int32", default=0),
+        S.field("source", "string", required=True),
+        unknown="passthrough", passthrough_target="extra",
+    )
+    import pyspark.sql.types as T2
+    df = spark.createDataFrame(
+        [('{"doc_id":"p1","tokens":[1],"n_tok":1,"source":"web","zzz":42}',)],
+        T2.StructType([T2.StructField("payload", T2.StringType(), False)]))
+    row = ingest_json(df, sch).collect()[0]
+    assert row["extra"] == {"zzz": "42"}
+    assert not row["_ingest_violations"]

@@ -24,6 +24,7 @@ def run_bench(cpus: int, replicate: int, runs: int = 3) -> dict:
         "SPARK_GRAFT_CPUS": str(cpus),
         "GSK_REPLICATE": str(replicate),
         "GSK_BENCH_RUNS": str(runs),
+        "GSK_DRIVER_MEM": "40g",
         "GSK_QUERIES": "full_validation,rowpass",
     })
     out = subprocess.run(
