@@ -28,6 +28,12 @@ def get_spark(cpus: int) -> SparkSession:
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("goskema_spark_bench")
+        # InferFiltersFromGenerate duplicates the (non-codegen) violations
+        # lambda expression into a redundant Filter below every explode —
+        # excluding it halves the row-pass cost (measured 1.58s -> 0.58s
+        # on 1.28M rows); semantics-neutral (explode already drops empties)
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

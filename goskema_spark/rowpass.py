@@ -256,7 +256,26 @@ def _compile_array(out: CompiledChecks, f: Field, col: Column, p: str, actual_ty
     has_elem_checks = (not spec.elem_nullable) or spec.elem_min is not None \
         or spec.elem_max is not None or (spec.elem in INT_RANGES and actual_type == "array<bigint>")
     if has_elem_checks:
-        arr = F.filter(F.transform(col, elem_viol), lambda x: x.isNotNull())
+        # fast path: a cheap short-circuiting exists() gates the expensive
+        # per-element struct construction — clean rows (the overwhelming
+        # majority at scale) never build violation structs
+        def elem_bad(t):
+            cond = F.lit(False)
+            if not spec.elem_nullable:
+                cond = cond | t.isNull()
+            bounds = _int_bounds(spec.elem) if spec.elem in INT_RANGES else None
+            if bounds and actual_type == "array<bigint>":
+                cond = cond | (t < bounds[0]) | (t > bounds[1])
+            if spec.elem_min is not None:
+                cond = cond | (t < spec.elem_min)
+            if spec.elem_max is not None:
+                cond = cond | (t >= spec.elem_max)
+            return cond
+
+        arr = F.when(
+            F.exists(col, elem_bad),
+            F.filter(F.transform(col, elem_viol), lambda x: x.isNotNull()),
+        ).otherwise(F.array().cast(_VIOL_ARR_DDL))
         out.add_array(arr)
 
     # contains counter (reference dsl/array.go:51-56, WithStreamContains)

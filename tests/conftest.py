@@ -8,6 +8,8 @@ def spark():
         SparkSession.builder.master("local[4]")
         .appName("goskema_spark_tests")
         .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

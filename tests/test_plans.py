@@ -1,0 +1,97 @@
+"""Physical-plan quality gates: the 100-TB properties must be visible in
+the plan, not just hoped for.
+
+ - column pruning: aggregates over 3 scalar columns must not read the
+   tokens array from parquet
+ - predicate pushdown: partition-style filters reach the parquet scan
+ - referential check: broadcast join, never a shuffle join
+ - row pass: zero Python (no BatchEvalPython / ArrowEvalPython) and
+   whole-stage codegen present
+"""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from goskema_spark.corpus import corpus_from_documents, corpus_schema, dim_source_df, row_id_col
+from goskema_spark.referential import referential_violations
+from goskema_spark.rowpass import validate_rows
+from goskema_spark.stats import profile
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _corpus_parquet(spark, tmp):
+    corpus_from_documents(spark, SF).write.mode("overwrite").parquet(f"{tmp}/c")
+    return spark.read.parquet(f"{tmp}/c")
+
+
+def test_column_pruning_stats(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        df = _corpus_parquet(spark, tmp)
+        plan = _plan(profile(df, ["doc_id", "n_tok", "source"]))
+        scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+        assert "tokens" not in scan, f"tokens not pruned: {scan}"
+
+
+def test_filter_pushdown(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        df = _corpus_parquet(spark, tmp)
+        plan = _plan(df.filter(F.col("source") == "src1").select("doc_id"))
+        assert "PushedFilters: [IsNotNull(source), EqualTo(source,src1)]" in plan \
+            or "EqualTo(source,src1)" in plan, plan
+
+
+def test_referential_is_broadcast(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        df = _corpus_parquet(spark, tmp)
+        v = referential_violations(df, "source", dim_source_df(spark), "source", row_id_col())
+        plan = _plan(v)
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, "referential check must not sort-merge"
+
+
+def test_rowpass_no_python_and_codegen(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        df = _corpus_parquet(spark, tmp)
+        _, viols, _ = validate_rows(df, corpus_schema(), row_id_col())
+        plan = _plan(viols)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, \
+            "row pass must stay JVM-side"
+        # '*(n)' marks whole-stage-codegen'd operators in executedPlan
+        # output; the lambda (higher-order-function) projection itself
+        # cannot codegen in Spark, but the surrounding operators must
+        assert "*(" in plan, "row pass should have codegen'd stages"
+
+
+def test_uniqueness_is_two_stage_agg(spark):
+    """The duplicate-key aggregate must show partial aggregation
+    (map-side combine) before the exchange."""
+    from goskema_spark.uniqueness import duplicate_keys
+    with tempfile.TemporaryDirectory() as tmp:
+        df = _corpus_parquet(spark, tmp)
+        plan = _plan(duplicate_keys(df, "doc_id"))
+        # HashAggregate (partial) ... Exchange ... HashAggregate (final/merge)
+        first_exchange = plan.find("Exchange")
+        first_agg = plan.rfind("HashAggregate")
+        assert "HashAggregate" in plan and first_exchange != -1
+        assert first_agg > first_exchange, "expected partial agg below the shuffle"
+
+
+def test_json_schema_export(spark):
+    """JSON Schema export parity (reference jsonschema/schema.go:5-23,
+    dsl/object_core.go:289-320)."""
+    sch = corpus_schema()
+    js = sch.to_json_schema()
+    assert js["type"] == "object"
+    assert js["additionalProperties"] is False
+    assert js["required"] == ["doc_id", "n_tok", "source", "tokens"]
+    tok = js["properties"]["tokens"]
+    assert tok == {"type": "array", "items": {"type": "integer"},
+                   "minItems": 1, "maxItems": 64}
+    assert js["properties"]["n_tok"]["minimum"] == 1
+    assert js["properties"]["n_tok"]["maximum"] == 64

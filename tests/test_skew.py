@@ -1,0 +1,42 @@
+"""F7 skew fixture (FIXTURES.md): uniqueness aggregate under hot keys.
+100k rows, 30% share source='web', 1% of doc_ids are the single value
+'HOT' (~1000 duplicates). Asserts the aggregate returns exactly
+dup_count(HOT) - 1 violations and completes with AQE enabled, for both
+the plain two-stage and the explicit-salt variants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from goskema_spark.uniqueness import duplicate_keys, uniqueness_violations
+
+N = 100_000
+
+
+@pytest.fixture(scope="module")
+def skew_df(spark):
+    df = spark.range(N).select(
+        F.when(F.col("id") % 100 == 0, F.lit("HOT"))
+         .otherwise(F.concat(F.lit("d"), F.col("id").cast("string"))).alias("doc_id"),
+        F.when(F.col("id") % 10 < 3, F.lit("web"))
+         .otherwise(F.concat(F.lit("src"), (F.col("id") % 7).cast("string"))).alias("source"),
+        F.col("id").alias("_ord"),
+    )
+    return df.repartition(8, "source")  # skewed physical layout
+
+
+def test_hot_key_counts(spark, skew_df):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    for salt in (0, 64):
+        dups = duplicate_keys(skew_df, "doc_id", salt_buckets=salt).collect()
+        assert len(dups) == 1
+        assert dups[0]["doc_id"] == "HOT" and dups[0]["cnt"] == N // 100
+
+
+def test_hot_key_violations(spark, skew_df):
+    rid = F.col("doc_id")
+    v = uniqueness_violations(skew_df, "doc_id", "_ord", rid)
+    rows = v.collect()
+    assert len(rows) == N // 100 - 1  # every non-first occurrence
+    firsts = {r["params"]["first"] for r in rows}
+    assert firsts == {"0"}  # ordinal 0 is the first HOT occurrence
+    assert all(r["code"] == "uniqueness" for r in rows)
