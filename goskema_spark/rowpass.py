@@ -178,7 +178,7 @@ def _compile_scalar(out: CompiledChecks, f: Field, col: Column, p: str, actual_t
     if f.dtype in ("double", "float") and actual_type == "string":
         out.add(nn & col.cast("double").isNull(), p, Codes.INVALID_TYPE, rule="type")
     if f.dtype == "timestamp" and actual_type == "string":
-        out.add(nn & F.to_timestamp(col).isNull(), p, Codes.INVALID_FORMAT,
+        out.add(nn & F.try_to_timestamp(col).isNull(), p, Codes.INVALID_FORMAT,
                 rule="format_rfc3339", params={"got": col})
 
     # sized-int overflow guard (reference dsl/primitives.go:598-637): applies
@@ -211,7 +211,7 @@ def _compile_scalar(out: CompiledChecks, f: Field, col: Column, p: str, actual_t
         out.add(nn & (F.length(col) > f.max_str_len), p, Codes.TOO_LONG, rule="max_length",
                 params={"max": f.max_str_len, "got": F.length(col)})
     if f.format == "rfc3339" and actual_type == "string":
-        out.add(nn & F.to_timestamp(col, "yyyy-MM-dd'T'HH:mm:ssXXX").isNull(), p,
+        out.add(nn & F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")).isNull(), p,
                 Codes.INVALID_FORMAT, rule="format_rfc3339", params={"got": col})
 
 
@@ -326,15 +326,19 @@ def apply_defaults(df: DataFrame, schema: TableSchema) -> DataFrame:
     defaults = [(f.name, f.default) for f in schema.fields if f.default is not None]
     if not defaults:
         return df
+    # stamp presence bits BEFORE materializing defaults (unbound F.col would
+    # otherwise resolve against the coalesced column and always read false)
     bits = []
+    for name, _ in defaults:
+        bits.extend([F.lit(name),
+                     F.col(name).isNull() if name in df.columns else F.lit(True)])
+    df = df.withColumn("_default_applied", F.create_map(*bits))
     for name, dv in defaults:
         if name in df.columns:
-            bits.extend([F.lit(name), F.col(name).isNull()])
             df = df.withColumn(name, F.coalesce(F.col(name), F.lit(dv)))
         else:
-            bits.extend([F.lit(name), F.lit(True)])
             df = df.withColumn(name, F.lit(dv))
-    return df.withColumn("_default_applied", F.create_map(*bits))
+    return df
 
 
 def with_violations(df: DataFrame, schema: TableSchema,

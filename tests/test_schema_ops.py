@@ -1,0 +1,188 @@
+"""Operator-inventory coverage tests (SURVEY §2.1): each goskema DSL
+operator exercised through the columnar row pass."""
+
+from pyspark.sql import functions as F, types as T
+
+from goskema_spark import schema as S
+from goskema_spark.rowpass import validate_rows
+from goskema_spark.schema import Refinement
+from goskema_spark.uniqueness import within_row_unique_violations
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def _codes(viols):
+    return {(r["row_id"], r["path"], r["code"]) for r in viols.collect()}
+
+
+def test_sized_int_overflow_and_fraction(spark):
+    """Int32Of overflow semantics (reference dsl/primitives.go:598-637)."""
+    df = _df(spark, [("a", 5), ("b", 2**40), ("c", -(2**40))], T.StructType([
+        T.StructField("id", T.StringType()), T.StructField("v", T.LongType())]))
+    sch = S.table(S.field("id", "string", required=True),
+                  S.field("v", "int64", int_bits="int32"))
+    _, viols, _ = validate_rows(df, sch, F.col("id"))
+    assert _codes(viols) == {("b", "/v", "overflow"), ("c", "/v", "overflow")}
+
+    dff = _df(spark, [("a", 1.0), ("b", 1.5)], T.StructType([
+        T.StructField("id", T.StringType()), T.StructField("v", T.DoubleType())]))
+    schf = S.table(S.field("id", "string", required=True), S.field("v", "int32"))
+    _, viols, _ = validate_rows(dff, schf, F.col("id"))
+    rows = viols.collect()
+    assert _codes(viols) == {("b", "/v", "overflow")}
+    assert rows[0]["message"] == "fractional part not allowed"
+
+
+def test_enum_pattern_string_lengths(spark):
+    df = _df(spark, [("a", "red", "u_1"), ("b", "blue", "u_22"),
+                     ("c", "mauve", "xx"), ("d", "red", "u_" + "9" * 30)],
+             T.StructType([T.StructField("id", T.StringType()),
+                           T.StructField("color", T.StringType()),
+                           T.StructField("uid", T.StringType())]))
+    sch = S.table(
+        S.field("id", "string", required=True),
+        S.field("color", "string", enum=["red", "blue"]),
+        S.field("uid", "string", pattern="^u_[0-9]+$", min_str_len=3, max_str_len=10),
+    )
+    _, viols, _ = validate_rows(df, sch, F.col("id"))
+    got = _codes(viols)
+    assert ("c", "/color", "invalid_enum") in got
+    assert ("c", "/uid", "pattern") in got
+    assert ("d", "/uid", "too_long") in got
+    assert ("a", "/uid", "pattern") not in got
+
+
+def test_numeric_bounds_params(spark):
+    df = _df(spark, [("a", 5.0), ("b", -1.0), ("c", 200.0)], T.StructType([
+        T.StructField("id", T.StringType()), T.StructField("v", T.DoubleType())]))
+    sch = S.table(S.field("id", "string", required=True),
+                  S.field("v", "double", min=0, max=100))
+    _, viols, _ = validate_rows(df, sch, F.col("id"))
+    rows = {(r["row_id"], r["code"]): r for r in viols.collect()}
+    assert rows[("b", "too_small")]["params"]["min"] == "0"
+    assert rows[("c", "too_big")]["params"]["got"] == "200.0"
+
+
+def test_contains_counter(spark):
+    """WithStreamContains (reference dsl/array.go:51-56)."""
+    df = _df(spark, [("a", [1, -1, 2]), ("b", [1, 2, 3]), ("c", [-1, -2, -3])],
+             T.StructType([T.StructField("id", T.StringType()),
+                           T.StructField("xs", T.ArrayType(T.IntegerType()))]))
+    sch = S.table(
+        S.field("id", "string", required=True),
+        S.field("xs", S.array("int32", contains_pred=lambda x: x < 0,
+                              contains_min=1, contains_max=2)),
+    )
+    _, viols, _ = validate_rows(df, sch, F.col("id"))
+    got = _codes(viols)
+    assert ("b", "/xs", "too_short") in got  # zero negatives < min 1
+    assert ("c", "/xs", "too_long") in got   # three negatives > max 2
+    assert not any(r[0] == "a" for r in got)
+
+
+def test_map_value_validation(spark):
+    """Homogeneous map validation (reference dsl/map_core.go:48-119);
+    escaped keys in pointer paths (ref_pathref.go:51-69)."""
+    df = _df(spark, [("a", {"x": 5, "y": 50}), ("b", {"ok": 1, "bad/key": 999})],
+             T.StructType([T.StructField("id", T.StringType()),
+                           T.StructField("m", T.MapType(T.StringType(), T.IntegerType()))]))
+    sch = S.table(S.field("id", "string", required=True),
+                  S.field("m", S.map_of("int32", value_min=0, value_max=100)))
+    _, viols, _ = validate_rows(df, sch, F.col("id"))
+    got = _codes(viols)
+    assert got == {("b", "/m/bad~1key", "too_big")}
+
+
+def test_discriminated_union(spark):
+    """Discriminator dispatch (reference dsl/union.go:17-52)."""
+    df = _df(spark, [("a", "card", "4111", None),
+                     ("b", "bank", None, "DE123"),
+                     ("c", "crypto", None, None),
+                     ("d", None, None, None),
+                     ("e", "card", None, None)],
+             T.StructType([T.StructField("id", T.StringType()),
+                           T.StructField("kind", T.StringType()),
+                           T.StructField("card_no", T.StringType()),
+                           T.StructField("iban", T.StringType())]))
+    sch = S.table(
+        S.field("id", "string", required=True),
+        S.field("kind", "string"),
+        S.field("card_no", "string"),
+        S.field("iban", "string"),
+    ).discriminate("kind", {
+        "card": [Refinement("card_requires_number", path="/card_no",
+                            violates=lambda: F.col("card_no").isNull(),
+                            code="required")],
+        "bank": [Refinement("bank_requires_iban", path="/iban",
+                            violates=lambda: F.col("iban").isNull(),
+                            code="required")],
+    })
+    _, viols, _ = validate_rows(df, sch, F.col("id"))
+    got = _codes(viols)
+    assert ("c", "/kind", "discriminator_unknown") in got
+    assert ("d", "/kind", "discriminator_missing") in got
+    assert ("e", "/card_no", "required") in got
+    assert not any(r[0] in ("a", "b") for r in got)
+
+
+def test_default_applied_presence(spark):
+    """Default materialization + DefaultApplied bit on the columnar path
+    (reference dsl/object_builder.go:70-91)."""
+    df = _df(spark, [("a", None), ("b", 7)], T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("v", T.IntegerType())]))
+    sch = S.table(S.field("id", "string", required=True),
+                  S.field("v", "int32", default=42))
+    ann, viols, clean = validate_rows(df, sch, F.col("id"))
+    rows = {r["id"]: r for r in clean.collect()}
+    assert rows["a"]["v"] == 42 and rows["a"]["_default_applied"]["v"] is True
+    assert rows["b"]["v"] == 7 and rows["b"]["_default_applied"]["v"] is False
+    assert viols.count() == 0  # defaulted field is not a violation
+
+
+def test_rfc3339_codec(spark):
+    """RFC3339 codec round-trip (reference codec/rfc3339.go:27-70)."""
+    df = _df(spark, [("a", "2024-01-02T03:04:05Z"), ("b", "not-a-time")],
+             T.StructType([T.StructField("id", T.StringType()),
+                           T.StructField("ts", T.StringType())]))
+    sch = S.table(S.field("id", "string", required=True),
+                  S.field("ts", "timestamp"))
+    _, viols, clean = validate_rows(df, sch, F.col("id"))
+    assert _codes(viols) == {("b", "/ts", "invalid_format")}
+    # canonical UTC re-encode
+    enc = clean.filter("id = 'a'").select(
+        F.date_format(F.to_timestamp("ts"), "yyyy-MM-dd'T'HH:mm:ssX").alias("out")
+    ).collect()[0]["out"]
+    assert enc == "2024-01-02T03:04:05Z"
+
+
+def test_within_row_uniqueness(spark):
+    """k8s list-type=set semantics (reference kubeopenapi/list.go:17-39)."""
+    df = _df(spark, [("a", ["x", "y", "x", "z", "y"]), ("b", ["p", "q"])],
+             T.StructType([T.StructField("id", T.StringType()),
+                           T.StructField("xs", T.ArrayType(T.StringType()))]))
+    v = within_row_unique_violations(df, "xs", F.col("id"))
+    rows = {(r["row_id"], r["path"]): r for r in v.collect()}
+    assert set(rows) == {("a", "/xs/2"), ("a", "/xs/4")}
+    assert rows[("a", "/xs/2")]["params"] == {"first": "0", "dup": "2", "key": "x"}
+    assert rows[("a", "/xs/2")]["message"] == "duplicate value"
+
+
+def test_conditional_rule_combinators(spark):
+    """If/Then gating (reference rules/rules.go:34-76) via `when`."""
+    df = _df(spark, [("a", "US", "90210"), ("b", "US", None), ("c", "JP", None)],
+             T.StructType([T.StructField("id", T.StringType()),
+                           T.StructField("country", T.StringType()),
+                           T.StructField("zip", T.StringType())]))
+    sch = S.table(
+        S.field("id", "string", required=True),
+        S.field("country", "string"),
+        S.field("zip", "string"),
+    ).refine("us_requires_zip",
+             violates=lambda: F.col("zip").isNull(),
+             when=lambda: F.col("country") == "US",
+             path="/zip", code="business_rule")
+    _, viols, _ = validate_rows(df, sch, F.col("id"))
+    assert _codes(viols) == {("b", "/zip", "business_rule")}
