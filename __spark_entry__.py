@@ -175,6 +175,15 @@ def _q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PSI/KS between src0's n_tok distribution and the whole
+    corpus — the drift check as an oracle-checked relational computation."""
+    from goskema_spark.drift import psi_ks_between
+    corpus = _corpus(spark, sf_dir)
+    return psi_ks_between(corpus.filter(F.col("source") == "src0"), corpus,
+                          "n_tok", 0, MAX_NTOK, 16)
+
+
 def _q_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
     res = validate(corpus, corpus_schema(), row_id_col(),
@@ -334,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntok_quantiles": _q_quantiles,
         "verdicts_by_source": _q_verdicts,
         "clean_token_checksum": _q_clean_checksum,
+        "drift_psi_ks": _q_drift_psi,
         "text_profile": _q_text_profile,
         "dedup_exact_prefix": _q_dedup_exact,
         "minhash_candidates": _q_minhash,
@@ -421,7 +431,25 @@ def oracle_sql() -> dict[str, str]:
     rowpass = _rowpass_viols_sql()
     uniq = _uniq_viols_sql()
     ref = _ref_viols_sql()
+    bucket_expr = (f"CASE WHEN n_tok < 0 THEN 0 WHEN n_tok >= {MAX_NTOK} THEN 17 "
+                   f"ELSE CAST(FLOOR(n_tok / {MAX_NTOK / 16.0}) AS BIGINT) + 1 END")
+    drift_sql = _with_corpus(f"""
+, ha AS (SELECT {bucket_expr} AS bucket, COUNT(*) AS cnt_a
+         FROM corpus WHERE n_tok IS NOT NULL AND source = 'src0' GROUP BY 1),
+hb AS (SELECT {bucket_expr} AS bucket, COUNT(*) AS cnt_b
+       FROM corpus WHERE n_tok IS NOT NULL GROUP BY 1),
+j AS (SELECT COALESCE(ha.bucket, hb.bucket) AS bucket,
+             COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+      FROM ha FULL JOIN hb ON ha.bucket = hb.bucket),
+tot AS (SELECT SUM(cnt_a) AS ta, SUM(cnt_b) AS tb FROM j),
+s AS (SELECT (GREATEST(cnt_a / ta, 1e-6) - GREATEST(cnt_b / tb, 1e-6))
+             * LN(GREATEST(cnt_a / ta, 1e-6) / GREATEST(cnt_b / tb, 1e-6)) AS psi_term,
+             SUM(cnt_a) OVER (ORDER BY bucket) / ta
+             - SUM(cnt_b) OVER (ORDER BY bucket) / tb AS cdf_diff
+      FROM j, tot)
+SELECT ROUND(SUM(psi_term), 6) AS psi, ROUND(MAX(ABS(cdf_diff)), 6) AS ks FROM s""")
     return {
+        "drift_psi_ks": drift_sql,
         "text_profile": _TEXT_PROFILE_SQL,
         "dedup_exact_prefix": """
 WITH p AS (SELECT doc_id,

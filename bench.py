@@ -81,9 +81,10 @@ def main():
     timings: dict[str, float] = {}
 
     runs = int(os.environ.get("GSK_BENCH_RUNS", "3"))
+    do_warm = os.environ.get("GSK_BENCH_WARM", "1") != "0"
 
     def bench(name, fn, warm=True):
-        if warm:  # exclude JVM/codegen warmup
+        if warm and do_warm:  # exclude JVM/codegen warmup
             fn()
         best = float("inf")
         for _ in range(runs):  # min-of-N: local-mode GC/JIT stalls are noise,

@@ -1,0 +1,95 @@
+"""spark-submit entrypoint (north rule: packaged for
+`spark-submit --py-files goskema_spark.zip`).
+
+    spark-submit --py-files goskema_spark.zip -m goskema_spark \
+        --input  s3://corpus/table_or_parquet_dir \
+        --dim-source s3://dims/sources.parquet \
+        --ledger s3://runs/ledger --violations s3://runs/violations \
+        --run-id 2026-08-16-a --max-len 64 --max-ntok 64 --vocab 1000 \
+        --repartition 4096
+
+Reads the corpus (parquet dir or Iceberg table name when the catalog is
+configured), runs the full check set with ledger/resume, prints the
+verdict summary as one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="goskema_spark")
+    p.add_argument("--input", required=True,
+                   help="parquet path or Iceberg table of (doc_id, tokens, n_tok, source)")
+    p.add_argument("--dim-source", default=None,
+                   help="parquet path of the source dimension (referential check)")
+    p.add_argument("--ledger", required=True, help="ledger table/path (resume state)")
+    p.add_argument("--violations", default=None, help="violations sink path")
+    p.add_argument("--run-id", required=True)
+    p.add_argument("--max-len", type=int, default=64)
+    p.add_argument("--max-ntok", type=int, default=64)
+    p.add_argument("--vocab", type=int, default=1000)
+    p.add_argument("--repartition", type=int, default=0,
+                   help="explicit repartition(N, source, xxhash64(doc_id)) before the pass")
+    p.add_argument("--fail-fast", action="store_true")
+    return p
+
+
+def load_input(spark: SparkSession, path: str):
+    if "/" in path or path.endswith(".parquet"):
+        return spark.read.parquet(path)
+    return spark.read.table(path)  # Iceberg table via configured catalog
+
+
+def main(argv=None) -> int:
+    from goskema_spark.corpus import corpus_schema
+    from goskema_spark.ledger import read_ledger, run_with_ledger
+
+    args = build_parser().parse_args(argv)
+    spark = SparkSession.builder.appName(f"goskema-{args.run_id}").getOrCreate()
+
+    df = load_input(spark, args.input)
+    if "_ord" not in df.columns:
+        # a deterministic per-row ordinal for uniqueness first/dup params;
+        # monotonically_increasing_id is partition-stable for a fixed layout
+        df = df.withColumn("_ord", F.monotonically_increasing_id())
+    if args.repartition:
+        df = df.repartition(args.repartition, F.col("source"), F.xxhash64("doc_id"))
+
+    schema = corpus_schema(args.max_len, args.max_ntok, args.vocab)
+    schema.fail_fast = args.fail_fast
+    dims = {}
+    if args.dim_source:
+        dims["dim_source"] = spark.read.parquet(args.dim_source)
+    else:
+        schema.foreign_keys = []
+
+    row_id = F.coalesce(F.col("doc_id"),
+                        F.concat(F.lit("row-"), F.col("_ord").cast("string")))
+    run_with_ledger(spark, df, schema, row_id, run_id=args.run_id,
+                    ledger_path=args.ledger, violations_path=args.violations,
+                    dims=dims)
+    led = read_ledger(spark, args.ledger, args.run_id)
+    agg = led.agg(F.count(F.lit(1)).alias("partitions"),
+                  F.sum("rows").alias("rows"),
+                  F.sum("violations").alias("violations"),
+                  F.sum(F.when(F.col("verdict") == "fail", 1).otherwise(0)).alias("failed"),
+                  ).collect()[0]
+    print(json.dumps({
+        "run_id": args.run_id,
+        "partitions": agg["partitions"],
+        "rows": int(agg["rows"] or 0),
+        "violations": int(agg["violations"] or 0),
+        "failed_partitions": int(agg["failed"] or 0),
+        "verdict": "fail" if (agg["failed"] or 0) > 0 else "pass",
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

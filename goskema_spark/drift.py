@@ -68,6 +68,42 @@ def ks_statistic(cur_hist: dict, ref_hist: dict, buckets: int = DEFAULT_BUCKETS)
     return float(d)
 
 
+def psi_ks_between(df_a: DataFrame, df_b: DataFrame, column: str,
+                   lo: float, hi: float, buckets: int = DEFAULT_BUCKETS,
+                   eps: float = 1e-6) -> DataFrame:
+    """Fully-distributed PSI + KS between two datasets' histograms of
+    `column` — one row out. Unlike drift_check (driver-side arithmetic on
+    a collected histogram), this stays in Spark end-to-end, so it can run
+    inside a larger pipeline and be oracle-checked.
+
+    Buckets absent from both sides contribute 0 to both statistics, so
+    only the union of observed buckets is materialized.
+    """
+    ha = histogram(df_a, column, lo, hi, buckets).select("bucket", F.col("cnt").alias("cnt_a"))
+    hb = histogram(df_b, column, lo, hi, buckets).select("bucket", F.col("cnt").alias("cnt_b"))
+    joined = ha.join(hb, "bucket", "full").select(
+        "bucket",
+        F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+        F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+    )
+    tot = joined.agg(F.sum("cnt_a").alias("ta"), F.sum("cnt_b").alias("tb"))
+    j = joined.crossJoin(F.broadcast(tot))
+    p = F.greatest(F.col("cnt_a") / F.col("ta"), F.lit(eps))
+    q = F.greatest(F.col("cnt_b") / F.col("tb"), F.lit(eps))
+    from pyspark.sql import Window
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    scored = j.select(
+        "bucket",
+        ((p - q) * F.log(p / q)).alias("psi_term"),
+        (F.sum(F.col("cnt_a")).over(w) / F.col("ta")
+         - F.sum(F.col("cnt_b")).over(w) / F.col("tb")).alias("cdf_diff"),
+    )
+    return scored.agg(
+        F.round(F.sum("psi_term"), 6).alias("psi"),
+        F.round(F.max(F.abs(F.col("cdf_diff"))), 6).alias("ks"),
+    )
+
+
 def drift_check(df: DataFrame, column: str, ref: DataFrame, lo: float, hi: float,
                 buckets: int = DEFAULT_BUCKETS, psi_threshold: float = 0.25,
                 ks_threshold: float = 0.30) -> dict:

@@ -62,14 +62,30 @@ _EN_CATALOG = {
     Codes.DEPENDENCY_UNAVAILABLE: "dependency unavailable",
 }
 
+# 'ja' catalog ported from reference i18n/translator.go:14-35.
+_JA_CATALOG = {
+    Codes.INVALID_TYPE: "型が不正です",
+    Codes.REQUIRED: "必須プロパティが不足しています",
+    Codes.UNKNOWN_KEY: "未知のキーです",
+    Codes.DUPLICATE_KEY: "キーが重複しています",
+    Codes.TOO_SHORT: "短すぎます",
+    Codes.TOO_LONG: "長すぎます",
+    Codes.PARSE_ERROR: "解析エラー",
+    Codes.TRUNCATED: "打ち切られました",
+    Codes.DEPENDENCY_UNAVAILABLE: "依存先サービスが利用できません",
+}
+
+_CATALOGS = {"en": _EN_CATALOG, "ja": _JA_CATALOG}
+
 # Messages set explicitly by reference rules rather than the catalog.
 # UniqueBy uses "duplicate value" (reference rules/rules.go:126).
 MSG_DUPLICATE_VALUE = "duplicate value"
 
 
-def message_for(code: str) -> str:
-    """Catalog lookup with code-as-fallback (reference translator.go:58)."""
-    return _EN_CATALOG.get(code, code)
+def message_for(code: str, lang: str = "en") -> str:
+    """Catalog lookup with code-as-fallback (reference translator.go:58);
+    pluggable locale like the reference Translator (translator.go:64-79)."""
+    return _CATALOGS.get(lang, _EN_CATALOG).get(code, code)
 
 
 # Violation row schema (FIXTURES.md F5; reference errors.go:39-54).

@@ -258,6 +258,53 @@ def _field_json_schema(f: Field) -> dict:
     return base
 
 
+def from_json_schema(js: dict) -> TableSchema:
+    """Import a JSON Schema subset into a TableSchema — the contract-import
+    direction (reference kubeopenapi/kubeopenapi.go:14-57 imports OpenAPI;
+    this covers the JSON-Schema core subset the exporter emits:
+    type/properties/required/additionalProperties/items/min-maxItems/
+    minimum-maximum/enum/pattern/default)."""
+    if js.get("type") != "object":
+        raise ValueError("root schema must be type=object")
+    required = set(js.get("required", []))
+    fields = []
+    for name, spec in js.get("properties", {}).items():
+        fields.append(_field_from_json(name, spec, name in required))
+    unknown = "strict" if js.get("additionalProperties") is False else "strip"
+    return TableSchema(fields=fields, unknown=unknown)
+
+
+_FROM_JSON_TYPES = {"string": "string", "boolean": "bool", "number": "double",
+                    "integer": "int64"}
+
+
+def _field_from_json(name: str, spec: dict, required: bool) -> Field:
+    t = spec.get("type", "string")
+    if t == "array":
+        items = spec.get("items", {})
+        elem = "int32" if items.get("type") == "integer" else "double"
+        arr = ArraySpec(elem=elem, min_len=spec.get("minItems"),
+                        max_len=spec.get("maxItems"),
+                        elem_min=items.get("minimum"),
+                        elem_max=(items["maximum"] + 1) if "maximum" in items else None)
+        return Field(name=name, dtype=arr, required=required)
+    if t == "object":
+        if "additionalProperties" in spec and isinstance(spec["additionalProperties"], dict):
+            vt = _FROM_JSON_TYPES.get(spec["additionalProperties"].get("type", "string"), "string")
+            return Field(name=name, dtype=MapSpec(value=vt), required=required)
+        return Field(name=name, dtype=from_json_schema(spec), required=required)
+    return Field(
+        name=name,
+        dtype=_FROM_JSON_TYPES.get(t, "string"),
+        required=required,
+        default=spec.get("default"),
+        enum=spec.get("enum"),
+        pattern=spec.get("pattern"),
+        min=spec.get("minimum"),
+        max=spec.get("maximum"),
+    )
+
+
 def field(name, dtype="string", **kw) -> Field:
     return Field(name=name, dtype=dtype, **kw)
 

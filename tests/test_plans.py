@@ -95,3 +95,15 @@ def test_json_schema_export(spark):
                    "minItems": 1, "maxItems": 64}
     assert js["properties"]["n_tok"]["minimum"] == 1
     assert js["properties"]["n_tok"]["maximum"] == 64
+
+
+def test_json_schema_roundtrip(spark):
+    """Export -> import -> export fixpoint (contract-import direction,
+    reference kubeopenapi import surface)."""
+    from goskema_spark.schema import from_json_schema
+    sch = corpus_schema()
+    js = sch.to_json_schema()
+    sch2 = from_json_schema(js)
+    assert sch2.to_json_schema() == js
+    assert sch2.unknown == "strict"
+    assert sch2.get("tokens").dtype.max_len == 64

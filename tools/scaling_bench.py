@@ -25,7 +25,8 @@ def run_bench(cpus: int, replicate: int, runs: int = 3) -> dict:
         "GSK_REPLICATE": str(replicate),
         "GSK_BENCH_RUNS": str(runs),
         "GSK_DRIVER_MEM": "40g",
-        "GSK_QUERIES": "full_validation,rowpass",
+        "GSK_BENCH_WARM": "0",  # min across interleaved reps is the warm filter
+        "GSK_QUERIES": os.environ.get("GSK_SCALE_QUERIES", "full_validation,rowpass"),
     })
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -35,13 +36,32 @@ def run_bench(cpus: int, replicate: int, runs: int = 3) -> dict:
     return json.loads(line)
 
 
+def merge_min(results: list) -> dict:
+    """Min per query across repeated runs of the same config."""
+    out = dict(results[0])
+    out["queries"] = {
+        q: min(r["queries"][q] for r in results) for q in results[0]["queries"]
+    }
+    return out
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     n4 = n * 4
 
-    small = run_bench(n, replicate)
-    big = run_bench(n4, replicate)
+    # interleave configs A/B/A/B: the host shows bursty CPU steal, so
+    # back-to-back blocks of one config soak up a burst and bias the
+    # comparison; min across interleaved reps is steal-robust
+    small_runs, big_runs = [], []
+    for i in range(reps):
+        small_runs.append(run_bench(n, replicate, runs=1))
+        big_runs.append(run_bench(n4, replicate, runs=1))
+        print(f"rep {i}: {n}->{small_runs[-1]['queries']} "
+              f"{n4}->{big_runs[-1]['queries']}", flush=True)
+    small = merge_min(small_runs)
+    big = merge_min(big_runs)
 
     rows = small["rows"]
     report = {"sf": small["sf"], "rows": rows, "n": n, "n4": n4}
@@ -56,7 +76,7 @@ def main():
         "| job | local[{n}] sec | local[{n4}] sec | seq/s @{n} | seq/s @{n4} | efficiency |".format(n=n, n4=n4),
         "|---|---|---|---|---|---|",
     ]
-    for q in ("full_validation", "rowpass"):
+    for q in small["queries"]:
         t_small, t_big = small["queries"][q], big["queries"][q]
         thr_small, thr_big = rows / t_small, rows / t_big
         eff = thr_big / (4.0 * thr_small)
