@@ -344,9 +344,22 @@ def apply_defaults(df: DataFrame, schema: TableSchema) -> DataFrame:
 def with_violations(df: DataFrame, schema: TableSchema,
                     violations_col: str = "_violations") -> DataFrame:
     """Annotate every row with its violations array — ONE select, all
-    built-in expressions (north rule: no per-row Python)."""
-    checks = compile_checks(schema, df)
-    combined = checks.combined()
+    built-in expressions (north rule: no per-row Python).
+
+    The combined Column is memoized per (schema, column dtypes): building
+    it costs hundreds of py4j round-trips, and unbound Column trees are
+    immutable and reusable across DataFrames of the same shape. This is
+    pure driver-side serial time — exactly what Amdahl punishes at higher
+    parallelism."""
+    key = (tuple(sorted(df.dtypes)), df.columns.count("_violations"))
+    cache = getattr(schema, "_compiled_cache", None)
+    if cache is None:
+        cache = {}
+        schema._compiled_cache = cache
+    combined = cache.get(key)
+    if combined is None:
+        combined = compile_checks(schema, df).combined()
+        cache[key] = combined
     if schema.fail_fast:
         combined = F.slice(combined, 1, 1)  # first issue only (api.go:147-156)
     return df.withColumn(violations_col, combined)
