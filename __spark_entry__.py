@@ -513,21 +513,21 @@ FROM (SELECT o_custkey, o_orderkey, o_totalprice,
             f"SELECT row_id, path, code, rule, got FROM ({ref})"),
         "stats_profile": _with_corpus(f"""
 SELECT * FROM (
-  SELECT 'doc_id' AS col, COUNT(*) AS cnt,
-         SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS nulls,
-         COUNT(DISTINCT doc_id) AS n_distinct,
+  SELECT 'doc_id' AS col, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
          CAST(MIN(doc_id) AS VARCHAR) AS min_v, CAST(MAX(doc_id) AS VARCHAR) AS max_v
   FROM corpus
   UNION ALL
-  SELECT 'n_tok', COUNT(*),
-         SUM(CASE WHEN n_tok IS NULL THEN 1 ELSE 0 END),
-         COUNT(DISTINCT n_tok),
+  SELECT 'n_tok', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN n_tok IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT n_tok) AS BIGINT),
          CAST(MIN(n_tok) AS VARCHAR), CAST(MAX(n_tok) AS VARCHAR)
   FROM corpus
   UNION ALL
-  SELECT 'source', COUNT(*),
-         SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
-         COUNT(DISTINCT source),
+  SELECT 'source', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT source) AS BIGINT),
          CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
   FROM corpus
 )"""),

@@ -167,10 +167,11 @@ def _compile_scalar(out: CompiledChecks, f: Field, col: Column, p: str, actual_t
 
     # wire-type check via cast-null-out (reference dsl/primitives.go:163-235):
     # a value that exists but cannot cast to the declared type is invalid_type.
-    if f.dtype in ("int8", "int16", "int32", "int", "int64", "long") and actual_type in ("double", "float", "string"):
+    if f.dtype in ("int8", "int16", "int32", "int", "int64", "long") and (
+            actual_type in ("double", "float", "string") or actual_type.startswith("decimal")):
         casted = col.cast("double")
         out.add(nn & casted.isNull(), p, Codes.INVALID_TYPE, rule="type")
-        if actual_type in ("double", "float"):
+        if actual_type in ("double", "float") or actual_type.startswith("decimal"):
             # fractional part not allowed (reference dsl/primitives.go:628-631)
             out.add(nn & casted.isNotNull() & (casted != F.floor(casted)), p,
                     Codes.OVERFLOW, rule="int_fraction",
@@ -184,11 +185,16 @@ def _compile_scalar(out: CompiledChecks, f: Field, col: Column, p: str, actual_t
     # sized-int overflow guard (reference dsl/primitives.go:598-637): applies
     # when the physical column is wider than the declared logical width.
     bits = f.int_bits or (f.dtype if f.dtype in INT_RANGES else None)
-    if bits and actual_type in ("bigint", "int", "smallint", "double", "float", "decimal"):
+    # Spark dtype strings for decimals are parameterized ("decimal(10,2)"),
+    # so match on the prefix, not equality.
+    if bits and (actual_type in ("bigint", "int", "smallint", "double", "float")
+                 or actual_type.startswith("decimal")):
         lo, hi = INT_RANGES[bits]
         phys = _int_bounds({"bigint": "int64", "int": "int32", "smallint": "int16"}.get(actual_type, "int64"))
         if phys is None or phys[0] < lo or phys[1] > hi:
-            num = col.cast("double") if actual_type in ("double", "float") else col
+            num = (col.cast("double")
+                   if actual_type in ("double", "float") or actual_type.startswith("decimal")
+                   else col)
             out.add(nn & ((num < F.lit(lo)) | (num > F.lit(hi))), p, Codes.OVERFLOW,
                     rule=f"int_range_{bits}", params={"min": lo, "max": hi, "got": col})
 
@@ -351,7 +357,8 @@ def with_violations(df: DataFrame, schema: TableSchema,
     immutable and reusable across DataFrames of the same shape. This is
     pure driver-side serial time — exactly what Amdahl punishes at higher
     parallelism."""
-    key = (tuple(sorted(df.dtypes)), df.columns.count("_violations"))
+    key = (tuple(sorted(df.dtypes)), df.columns.count("_violations"),
+           getattr(schema, "_version", 0))
     cache = getattr(schema, "_compiled_cache", None)
     if cache is None:
         cache = {}

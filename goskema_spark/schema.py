@@ -164,26 +164,34 @@ class TableSchema:
     foreign_keys: list = dc_field(default_factory=list)
     discriminator: Optional[Discriminator] = None
     fail_fast: bool = False  # ParseOpt{FailFast} (reference api.go:147-156)
+    # mutation counter: part of the compiled-checks memo key in rowpass.py,
+    # so chaining refine()/unique()/discriminate() after a validation run
+    # never reuses stale compiled Columns
+    _version: int = 0
 
     # -- builder chaining -------------------------------------------------
     def refine(self, name, violates, path="", code="business_rule", params=None, when=None):
         self.refinements.append(
             Refinement(name=name, path=path, violates=violates, code=code, params=params, when=when)
         )
+        self._version += 1
         return self
 
     def unique(self, column, ordinal=None):
         self.unique_keys.append(UniqueKey(column=column, ordinal=ordinal))
+        self._version += 1
         return self
 
     def foreign_key(self, column, dim_name, dim_column=None, code="invalid_enum"):
         self.foreign_keys.append(
             ForeignKey(column=column, dim_name=dim_name, dim_column=dim_column or column, code=code)
         )
+        self._version += 1
         return self
 
     def discriminate(self, column, variants):
         self.discriminator = Discriminator(column=column, variants=variants)
+        self._version += 1
         return self
 
     # -- projections -------------------------------------------------------

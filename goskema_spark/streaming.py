@@ -80,7 +80,11 @@ def windowed_counts(stream_df: DataFrame, ts_col: str = "ts",
 
 def dedup_stream(stream_df: DataFrame, key: str = "doc_id",
                  ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
-    """Streaming uniqueness: exactly-once keys within the watermark
-    horizon (state-store-backed dropDuplicates)."""
+    """Streaming uniqueness: exactly-once KEYS within the watermark
+    horizon — dropDuplicatesWithinWatermark dedups on the key alone
+    (state evicted past the watermark, so memory stays bounded), unlike
+    dropDuplicates([key, ts]) which would pass the same doc_id through
+    whenever the timestamp differs."""
     stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    return stream_df.withWatermark(ts_col, watermark).dropDuplicates([key, ts_col])
+    wm = stream_df.withWatermark(ts_col, watermark)
+    return wm.dropDuplicatesWithinWatermark([key])

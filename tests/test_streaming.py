@@ -88,7 +88,12 @@ def test_dedup_stream(spark):
     try:
         ev = spark.read.parquet(f"{SF}/events.parquet").select(
             F.col("event_id").cast("string").alias("doc_id"), "ts")
-        dup = ev.unionByName(ev.limit(50))  # inject duplicates
+        # inject exact duplicates AND same-key/different-timestamp
+        # duplicates: key-level dedup must drop both kinds
+        shifted = ev.limit(30).withColumn(
+            "ts", (F.col("ts").cast("timestamp") + F.expr("INTERVAL 1 MINUTE"))
+            .cast(dict(ev.dtypes)["ts"]))
+        dup = ev.unionByName(ev.limit(50)).unionByName(shifted)
         dup.write.mode("overwrite").parquet(f"{tmp}/in")
         stream = spark.readStream.schema(dup.schema).parquet(f"{tmp}/in")
         q = (dedup_stream(stream, "doc_id", "ts").writeStream
