@@ -97,9 +97,11 @@ def main():
     # per-source verdicts) — the north-rule constraint-eval job
     def q_full():
         res = validate(load(), schema, row_id_col(), dims={"dim_source": dim})
+        # first write materializes the fused report relation (one job);
+        # the verdicts write is then a cached read
         res.violations.write.format("noop").mode("overwrite").save()
         res.verdicts.write.format("noop").mode("overwrite").save()
-        res.violations.unpersist()
+        res.unpersist()
 
     def q_rowpass():
         _, viols, _ = validate_rows(load(), schema, row_id_col())

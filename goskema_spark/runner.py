@@ -34,6 +34,12 @@ class ValidationResult:
     clean: DataFrame              # rows with zero violations (row-pass level)
     verdicts: DataFrame           # partition_col, rows, violations, verdict
     report: dict = dc_field(default_factory=dict)
+    _cached: Optional[DataFrame] = None  # the persisted report relation
+
+    def unpersist(self):
+        if self._cached is not None:
+            self._cached.unpersist()
+        return self
 
 
 def validate(
@@ -48,9 +54,11 @@ def validate(
 ) -> ValidationResult:
     """Run the full check set declared on `schema` against `df`.
 
-    cache_violations persists the violations relation (tiny relative to
-    the input at any sane violation rate) so that the verdict aggregation
-    and any downstream consumer do not recompute the full scan DAG.
+    cache_violations persists the unified report relation (violations +
+    per-partition row counts — tiny relative to the input at any sane
+    violation rate), so the first action materializes everything in ONE
+    Spark job and the violations table / verdicts are cached reads.
+    Call result.unpersist() when done.
 
     uniqueness_scope: uniqueness is a GLOBAL property — when validating a
     subset (checkpoint resume), pass the full table here so duplicate
@@ -96,30 +104,66 @@ def validate(
     all_viols = rp
     for v in agg_viols:
         all_viols = all_viols.unionByName(v)
-    if cache_violations:
-        all_viols = all_viols.persist()
 
-    if partition_col in df.columns:
-        by_part_viol = all_viols.groupBy(F.col(partition_col).alias("_pc")).agg(
-            F.count(F.lit(1)).alias("violations"))
-        by_part_rows = df.groupBy(partition_col).agg(F.count(F.lit(1)).alias("rows"))
+    # ---- single-job report relation -----------------------------------
+    # The violation branches AND the per-partition row-count branch union
+    # into ONE plan, tagged by `_rec`. Materializing it is ONE Spark job:
+    # the branch stages (row pass, uniqueness aggregate, referential
+    # anti-join, row count) are independent and get scheduled
+    # concurrently, and the result is tiny (violation-rate-bounded rows +
+    # one row per logical partition), so persisting it makes the
+    # violations table AND the verdicts cached reads instead of separate
+    # full scans. The row-count branch is column-pruned by Catalyst to
+    # the partition column only (no check expressions) — the cheapest
+    # possible way to count rows the verdict stage needs; at 100 TB that
+    # reads one dictionary-encoded column, not the corpus.
+    v_rec = (all_viols
+             .withColumn("_rec", F.lit("v"))
+             .withColumn("_rows", F.lit(None).cast("bigint")))
+    null_viol_cols = [F.lit(None).cast("string").alias(c)
+                      for c in ("row_id", "path", "code", "message", "rule")]
+    if carry:
+        rows_rec = (df.groupBy(partition_col)
+                    .agg(F.count(F.lit(1)).cast("bigint").alias("_rows")))
+    else:
+        rows_rec = df.agg(F.count(F.lit(1)).cast("bigint").alias("_rows"))
+    rows_rec = rows_rec.select(
+        *null_viol_cols,
+        F.lit(None).cast("map<string,string>").alias("params"),
+        *[F.col(c) for c in carry],
+        F.lit("s").alias("_rec"),
+        F.col("_rows"),
+    )
+    report = v_rec.unionByName(rows_rec)
+    if cache_violations:
+        report = report.persist()
+
+    violations = report.filter(F.col("_rec") == "v").select(*VIOLATION_COLS, *carry)
+    part_rows = report.filter(F.col("_rec") == "s")
+    if carry:
+        by_part_viol = (report.filter(F.col("_rec") == "v")
+                        .groupBy(F.col(partition_col).alias("_pc"))
+                        .agg(F.count(F.lit(1)).alias("violations")))
         # null-safe join: a NULL partition value is itself a logical partition
         verdicts = (
-            by_part_rows.join(by_part_viol,
-                              F.col(partition_col).eqNullSafe(F.col("_pc")), "left")
+            part_rows.select(F.col(partition_col), F.col("_rows").alias("rows"))
+            .join(by_part_viol, F.col(partition_col).eqNullSafe(F.col("_pc")), "left")
             .drop("_pc")
             .withColumn("violations", F.coalesce(F.col("violations"), F.lit(0)))
             .withColumn("verdict", F.when(F.col("violations") > 0, "fail").otherwise("pass"))
         )
     else:
-        verdicts = all_viols.agg(F.count(F.lit(1)).alias("violations")).withColumn(
-            "verdict", F.when(F.col("violations") > 0, "fail").otherwise("pass"))
+        verdicts = report.agg(
+            F.sum(F.when(F.col("_rec") == "s", F.col("_rows"))).alias("rows"),
+            F.count(F.when(F.col("_rec") == "v", F.lit(1))).alias("violations"),
+        ).withColumn("verdict", F.when(F.col("violations") > 0, "fail").otherwise("pass"))
 
     return ValidationResult(
         annotated=ann,
-        violations=all_viols.select(*VIOLATION_COLS, *carry),
+        violations=violations,
         clean=clean,
         verdicts=verdicts,
+        _cached=report if cache_violations else None,
     )
 
 
