@@ -213,6 +213,31 @@ def _q_clean_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-object validation: pack (n_tok, source) into a struct and
+    validate it through a nested TableSchema — child issues rebased at
+    /meta/<field> (reference dsl/object_core.go:60-76)."""
+    from goskema_spark import schema as S
+    corpus = _corpus(spark, sf_dir)
+    nested = corpus.select(
+        "doc_id", "_ord",
+        F.when(F.col("source").isNotNull(),
+               F.struct(F.col("n_tok").alias("n_tok"),
+                        F.col("source").alias("src"))).alias("meta"),
+    )
+    meta = S.table(
+        S.field("n_tok", "int32", required=True, min=1, max=MAX_NTOK),
+        S.field("src", "string", required=True, pattern="^src[0-9]+$"),
+    )
+    sch = S.table(
+        S.field("doc_id", "string", required=True),
+        S.field("meta", meta, required=True),
+        unknown="strict",
+    )
+    _, viols, _ = validate_rows(nested, sch, row_id_col())
+    return viols.select("row_id", "path", "code", "rule")
+
+
 # --------------------------------------------------------------------------
 # training-data ops queries (documents / embeddings / events tables)
 # --------------------------------------------------------------------------
@@ -342,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntok_histogram": _q_histogram,
         "ntok_quantiles": _q_quantiles,
         "verdicts_by_source": _q_verdicts,
+        "nested_struct_violations": _q_nested,
         "clean_token_checksum": _q_clean_checksum,
         "drift_psi_ks": _q_drift_psi,
         "text_profile": _q_text_profile,
@@ -507,6 +533,24 @@ FROM (SELECT o_custkey, o_orderkey, o_totalprice,
       FROM orders) WHERE rk <= 2""",
         "rowpass_violations": _with_corpus(
             f"SELECT row_id, path, code, rule FROM ({rowpass})"),
+        "nested_struct_violations": _with_corpus(f"""
+  SELECT {ROW_ID_SQL} AS row_id, '/doc_id' AS path, 'required' AS code,
+         'required' AS rule FROM corpus WHERE doc_id IS NULL
+  UNION ALL
+  SELECT {ROW_ID_SQL}, '/meta', 'required', 'required'
+  FROM corpus WHERE source IS NULL
+  UNION ALL
+  SELECT {ROW_ID_SQL}, '/meta/n_tok', 'required', 'required'
+  FROM corpus WHERE source IS NOT NULL AND n_tok IS NULL
+  UNION ALL
+  SELECT {ROW_ID_SQL}, '/meta/n_tok', 'too_small', 'min'
+  FROM corpus WHERE source IS NOT NULL AND n_tok IS NOT NULL AND n_tok < 1
+  UNION ALL
+  SELECT {ROW_ID_SQL}, '/meta/n_tok', 'too_big', 'max'
+  FROM corpus WHERE source IS NOT NULL AND n_tok IS NOT NULL AND n_tok > {MAX_NTOK}
+  UNION ALL
+  SELECT {ROW_ID_SQL}, '/meta/src', 'pattern', 'pattern'
+  FROM corpus WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$')"""),
         "uniqueness_violations": _with_corpus(
             f"SELECT row_id, path, code, rule, first_ord, dup_ord, key_val FROM ({uniq})"),
         "referential_violations": _with_corpus(

@@ -100,7 +100,7 @@ class CompiledChecks:
 
 def compile_checks(schema: TableSchema, df: DataFrame) -> CompiledChecks:
     out = CompiledChecks()
-    df_types = dict(df.dtypes)
+    phys = {sf.name: sf.dataType for sf in df.schema.fields}
 
     # unknown-column policy (reference types.go:4-10, dsl/object_core.go:136-169)
     declared = set(schema.field_names()) | {"_ord", "_row_id"}
@@ -118,18 +118,7 @@ def compile_checks(schema: TableSchema, df: DataFrame) -> CompiledChecks:
                 # column absent from table schema = missing (SURVEY §7.3)
                 out.add(F.lit(True), pointer(f.name), Codes.REQUIRED, rule="required")
             continue
-        col = F.col(f.name)
-        p = pointer(f.name)
-
-        if f.required and f.default is None:
-            out.add(col.isNull(), p, Codes.REQUIRED, rule="required")
-
-        if isinstance(f.dtype, ArraySpec):
-            _compile_array(out, f, col, p, df_types.get(f.name, ""))
-        elif isinstance(f.dtype, MapSpec):
-            _compile_map(out, f, col, p)
-        else:
-            _compile_scalar(out, f, col, p, df_types.get(f.name, ""))
+        _compile_field(out, f, F.col(f.name), pointer(f.name), phys.get(f.name))
 
     # discriminated union (reference dsl/union.go:17-52)
     if schema.discriminator is not None:
@@ -156,6 +145,70 @@ def compile_checks(schema: TableSchema, df: DataFrame) -> CompiledChecks:
                 params=r.params() if r.params else None)
 
     return out
+
+
+def _compile_field(out: CompiledChecks, f: Field, col: Column, p: str, phys_type):
+    """Compile one field's checks at pointer `p`; phys_type is the
+    physical Spark DataType of the bound column (None if unknown)."""
+    type_str = phys_type.simpleString() if phys_type is not None else ""
+
+    if f.required and f.default is None:
+        out.add(col.isNull(), p, Codes.REQUIRED, rule="required")
+
+    if isinstance(f.dtype, ArraySpec):
+        _compile_array(out, f, col, p, type_str)
+    elif isinstance(f.dtype, MapSpec):
+        _compile_map(out, f, col, p)
+    elif isinstance(f.dtype, TableSchema):
+        _compile_nested(out, f, col, p, phys_type)
+    else:
+        _compile_scalar(out, f, col, p, type_str)
+
+
+def _compile_nested(out: CompiledChecks, f: Field, col: Column, p: str, phys_type):
+    """Nested-object validation: a Field whose dtype is a TableSchema
+    binds to a struct column; the child schema's full check set compiles
+    recursively with child paths rebased under the parent pointer —
+    the columnar analog of the reference rebasing child issues under the
+    parent's path (reference dsl/object_core.go:60-76, nesting behavior
+    pinned by dsl/zod_basics_test.go).
+
+    Child checks are gated on the parent struct being non-null: a null
+    parent is (at most) a `required` issue at the parent path, never a
+    cascade of child issues.
+    """
+    from pyspark.sql import types as T
+
+    sub_schema: TableSchema = f.dtype
+    if not isinstance(phys_type, T.StructType):
+        # a nested schema bound to a non-struct column is a declaration
+        # error — fail loudly instead of silently compiling zero checks
+        raise TypeError(
+            f"field '{p}' declares a nested object schema but the physical "
+            f"column type is {phys_type.simpleString() if phys_type is not None else 'unknown'}"
+        )
+    child_types = {sf.name: sf.dataType for sf in phys_type.fields}
+    declared = set(sub_schema.field_names())
+
+    sub = CompiledChecks()
+    if sub_schema.unknown == "strict":
+        for name in sorted(set(child_types) - declared):
+            if not name.startswith("_"):
+                sub.add(F.lit(True), p + pointer(name), Codes.UNKNOWN_KEY,
+                        rule="unknown_strict")
+    for cf in sorted(sub_schema.fields, key=lambda x: x.name):
+        cp = p + pointer(cf.name)
+        if cf.name not in child_types:
+            if cf.required and cf.default is None:
+                sub.add(F.lit(True), cp, Codes.REQUIRED, rule="required")
+            continue
+        _compile_field(sub, cf, col.getField(cf.name), cp, child_types[cf.name])
+
+    parent_nn = col.isNotNull()
+    for s in sub.scalars:
+        out.scalars.append(F.when(parent_nn, s))
+    for a in sub.arrays:
+        out.arrays.append(F.when(parent_nn, a).otherwise(F.array().cast(_VIOL_ARR_DDL)))
 
 
 def _int_bounds(dtype: str):

@@ -186,3 +186,65 @@ def test_conditional_rule_combinators(spark):
              path="/zip", code="business_rule")
     _, viols, _ = validate_rows(df, sch, F.col("id"))
     assert _codes(viols) == {("b", "/zip", "business_rule")}
+
+
+def test_nested_object_validation(spark):
+    """Nested TableSchema fields compile recursively with child paths
+    rebased under the parent pointer (reference dsl/object_core.go:60-76,
+    nesting pinned by dsl/zod_basics_test.go)."""
+    meta_t = T.StructType([
+        T.StructField("n", T.IntegerType()),
+        T.StructField("tag", T.StringType()),
+        T.StructField("inner", T.StructType([T.StructField("q", T.IntegerType())])),
+    ])
+    df = _df(spark, [
+        ("a", (5, "ok", (1,))),          # clean
+        ("b", (0, "ok", (1,))),          # /meta/n too_small
+        ("c", (5, "nope!", (1,))),       # /meta/tag pattern
+        ("d", None),                     # /meta required, NO child cascade
+        ("e", (None, "ok", (200,))),     # /meta/n required, /meta/inner/q too_big
+    ], T.StructType([T.StructField("id", T.StringType()),
+                     T.StructField("meta", meta_t)]))
+    inner = S.table(S.field("q", "int32", min=0, max=100))
+    meta = S.table(
+        S.field("n", "int32", required=True, min=1),
+        S.field("tag", "string", pattern="^[a-z]+$"),
+        S.field("inner", inner),
+    )
+    sch = S.table(S.field("id", "string", required=True),
+                  S.field("meta", meta, required=True))
+    _, viols, clean = validate_rows(df, sch, F.col("id"))
+    assert _codes(viols) == {
+        ("b", "/meta/n", "too_small"),
+        ("c", "/meta/tag", "pattern"),
+        ("d", "/meta", "required"),
+        ("e", "/meta/n", "required"),
+        ("e", "/meta/inner/q", "too_big"),
+    }
+    assert {r["id"] for r in clean.collect()} == {"a"}
+
+
+def test_nested_unknown_key_and_missing_child(spark):
+    meta_t = T.StructType([T.StructField("n", T.IntegerType()),
+                           T.StructField("extra", T.StringType())])
+    df = _df(spark, [("a", (1, "x")), ("b", None)], T.StructType([
+        T.StructField("id", T.StringType()), T.StructField("meta", meta_t)]))
+    meta = S.table(S.field("n", "int32"), S.field("absent", "string", required=True),
+                   unknown="strict")
+    sch = S.table(S.field("id", "string", required=True), S.field("meta", meta))
+    _, viols, _ = validate_rows(df, sch, F.col("id"))
+    # unknown struct field + required-but-absent child fire only where
+    # the parent struct is present
+    assert _codes(viols) == {
+        ("a", "/meta/extra", "unknown_key"),
+        ("a", "/meta/absent", "required"),
+    }
+
+
+def test_nested_schema_on_non_struct_raises(spark):
+    df = _df(spark, [("a", 1)], T.StructType([
+        T.StructField("id", T.StringType()), T.StructField("meta", T.IntegerType())]))
+    sch = S.table(S.field("id", "string"), S.field("meta", S.table(S.field("n", "int32"))))
+    import pytest as _pt
+    with _pt.raises(TypeError, match="nested object schema"):
+        validate_rows(df, sch, F.col("id"))
