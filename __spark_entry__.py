@@ -213,6 +213,25 @@ def _q_clean_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discriminated union with full sub-schema variants: even ordinals
+    are 'text' docs (n_tok capped at 32), odd are 'code' docs (n_tok at
+    least 2, doc_id required) — each variant's whole check set dispatches
+    on the tag (reference dsl/union.go:17-52)."""
+    from goskema_spark import schema as S
+    corpus = _corpus(spark, sf_dir).withColumn(
+        "kind", F.when(F.col("_ord") % 2 == 0, "text").otherwise("code"))
+    text_v = S.table(S.field("n_tok", "int32", max=32), unknown="strip")
+    code_v = S.table(S.field("n_tok", "int32", min=2),
+                     S.field("doc_id", "string", required=True), unknown="strip")
+    sch = S.table(
+        S.field("doc_id", "string"), S.field("n_tok", "int32"),
+        S.field("kind", "string"), unknown="strip",
+    ).discriminate("kind", {"text": text_v, "code": code_v})
+    _, viols, _ = validate_rows(corpus, sch, row_id_col())
+    return viols.select("row_id", "path", "code", "rule")
+
+
 def _q_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-object validation: pack (n_tok, source) into a struct and
     validate it through a nested TableSchema — child issues rebased at
@@ -368,6 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntok_quantiles": _q_quantiles,
         "verdicts_by_source": _q_verdicts,
         "nested_struct_violations": _q_nested,
+        "union_variant_violations": _q_union,
         "clean_token_checksum": _q_clean_checksum,
         "drift_psi_ks": _q_drift_psi,
         "text_profile": _q_text_profile,
@@ -551,6 +571,15 @@ FROM (SELECT o_custkey, o_orderkey, o_totalprice,
   UNION ALL
   SELECT {ROW_ID_SQL}, '/meta/src', 'pattern', 'pattern'
   FROM corpus WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$')"""),
+        "union_variant_violations": _with_corpus(f"""
+  SELECT {ROW_ID_SQL} AS row_id, '/n_tok' AS path, 'too_big' AS code, 'max' AS rule
+  FROM corpus WHERE _ord % 2 = 0 AND n_tok IS NOT NULL AND n_tok > 32
+  UNION ALL
+  SELECT {ROW_ID_SQL}, '/n_tok', 'too_small', 'min'
+  FROM corpus WHERE _ord % 2 = 1 AND n_tok IS NOT NULL AND n_tok < 2
+  UNION ALL
+  SELECT {ROW_ID_SQL}, '/doc_id', 'required', 'required'
+  FROM corpus WHERE _ord % 2 = 1 AND doc_id IS NULL"""),
         "uniqueness_violations": _with_corpus(
             f"SELECT row_id, path, code, rule, first_ord, dup_ord, key_val FROM ({uniq})"),
         "referential_violations": _with_corpus(

@@ -120,7 +120,11 @@ def compile_checks(schema: TableSchema, df: DataFrame) -> CompiledChecks:
             continue
         _compile_field(out, f, F.col(f.name), pointer(f.name), phys.get(f.name))
 
-    # discriminated union (reference dsl/union.go:17-52)
+    # discriminated union (reference dsl/union.go:17-52): a variant is
+    # either a full TableSchema (the whole variant check set — required-
+    # ness, types, bounds — dispatched on the tag, matching the reference
+    # dispatching the entire variant schema) or, for lightweight cases, a
+    # list of Refinements.
     if schema.discriminator is not None:
         d = schema.discriminator
         dcol = F.col(d.column)
@@ -129,11 +133,30 @@ def compile_checks(schema: TableSchema, df: DataFrame) -> CompiledChecks:
         tags = list(d.variants.keys())
         out.add(dcol.isNotNull() & ~dcol.isin(tags), dpath, Codes.DISCRIMINATOR_UNKNOWN,
                 rule="discriminator", params={"got": dcol})
-        for tag, refs in d.variants.items():
-            for r in refs:
-                cond = (dcol == F.lit(tag)) & r.violates()
-                out.add(cond, r.path or dpath, r.code, rule=r.name,
-                        params=r.params() if r.params else None)
+        for tag, var in d.variants.items():
+            gate = dcol == F.lit(tag)
+            if isinstance(var, TableSchema):
+                sub = CompiledChecks()
+                for vf in sorted(var.fields, key=lambda x: x.name):
+                    if vf.name not in df.columns:
+                        if vf.required and vf.default is None:
+                            sub.add(F.lit(True), pointer(vf.name), Codes.REQUIRED,
+                                    rule="required")
+                        continue
+                    _compile_field(sub, vf, F.col(vf.name), pointer(vf.name),
+                                   phys.get(vf.name))
+                for r in var.refinements:
+                    cond = r.violates()
+                    if r.when is not None:
+                        cond = r.when() & cond
+                    sub.add(cond, r.path, r.code, rule=r.name,
+                            params=r.params() if r.params else None)
+                _gate_checks(out, sub, gate)
+            else:
+                for r in var:
+                    cond = gate & r.violates()
+                    out.add(cond, r.path or dpath, r.code, rule=r.name,
+                            params=r.params() if r.params else None)
 
     # cross-field refinements (reference dsl/object_builder.go:129-135,
     # dsl/typed_rules.go:56-91 — rule name stamped into the row)
@@ -204,11 +227,16 @@ def _compile_nested(out: CompiledChecks, f: Field, col: Column, p: str, phys_typ
             continue
         _compile_field(sub, cf, col.getField(cf.name), cp, child_types[cf.name])
 
-    parent_nn = col.isNotNull()
+    _gate_checks(out, sub, col.isNotNull())
+
+
+def _gate_checks(out: CompiledChecks, sub: CompiledChecks, gate: Column):
+    """Merge `sub`'s compiled checks into `out`, each gated on `gate`
+    (variant tag match / parent struct presence)."""
     for s in sub.scalars:
-        out.scalars.append(F.when(parent_nn, s))
+        out.scalars.append(F.when(gate, s))
     for a in sub.arrays:
-        out.arrays.append(F.when(parent_nn, a).otherwise(F.array().cast(_VIOL_ARR_DDL)))
+        out.arrays.append(F.when(gate, a).otherwise(F.array().cast(_VIOL_ARR_DDL)))
 
 
 def _int_bounds(dtype: str):

@@ -148,7 +148,10 @@ class ForeignKey:
 class Discriminator:
     """Discriminated union (reference dsl/union.go:12-52): `column` selects a
     variant; unknown tag -> discriminator_unknown, null -> discriminator_missing.
-    variants maps tag -> list[Refinement] applied only for that tag."""
+    variants maps tag -> TableSchema (the variant's FULL check set —
+    required-ness, types, bounds, refinements — applied only for that
+    tag, matching the reference dispatching the whole variant schema) or
+    tag -> list[Refinement] for lightweight per-tag rules."""
 
     column: str
     variants: dict = dc_field(default_factory=dict)

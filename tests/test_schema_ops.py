@@ -248,3 +248,34 @@ def test_nested_schema_on_non_struct_raises(spark):
     import pytest as _pt
     with _pt.raises(TypeError, match="nested object schema"):
         validate_rows(df, sch, F.col("id"))
+
+
+def test_union_variant_full_subschema(spark):
+    """Variants as full TableSchemas: per-variant required-ness and
+    bounds differ (reference dsl/union.go:17-52 dispatches the whole
+    variant schema on the tag)."""
+    df = _df(spark, [
+        ("a", "card", "4111", None),     # clean card
+        ("b", "card", None, None),       # card requires pan -> /pan required
+        ("c", "bank", None, "IB123"),    # clean bank
+        ("d", "bank", None, "x"),        # bank iban min_str_len -> too_short
+        ("e", "bank", None, None),       # bank requires iban -> required
+        ("f", "crypto", None, None),     # unknown tag
+    ], T.StructType([T.StructField("id", T.StringType()),
+                     T.StructField("kind", T.StringType()),
+                     T.StructField("pan", T.StringType()),
+                     T.StructField("iban", T.StringType())]))
+    card = S.table(S.field("pan", "string", required=True, pattern="^[0-9]+$"))
+    bank = S.table(S.field("iban", "string", required=True, min_str_len=5))
+    sch = S.table(S.field("id", "string", required=True),
+                  S.field("kind", "string"),
+                  S.field("pan", "string"), S.field("iban", "string"),
+                  unknown="strip")
+    sch.discriminate("kind", {"card": card, "bank": bank})
+    _, viols, _ = validate_rows(df, sch, F.col("id"))
+    assert _codes(viols) == {
+        ("b", "/pan", "required"),
+        ("d", "/iban", "too_short"),
+        ("e", "/iban", "required"),
+        ("f", "/kind", "discriminator_unknown"),
+    }
