@@ -232,6 +232,27 @@ def _q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return viols.select("row_id", "path", "code", "rule")
 
 
+def _q_map_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-value validation: pack (src, ntoks) into a map<string,string>
+    and validate every value against a full elem Field spec (required +
+    pattern), issues at /attrs/<key> (reference dsl/map_core.go:48-119)."""
+    from goskema_spark import schema as S
+    corpus = _corpus(spark, sf_dir)
+    mapped = corpus.select(
+        "doc_id", "_ord",
+        F.create_map(F.lit("src"), F.col("source"),
+                     F.lit("ntoks"), F.col("n_tok").cast("string")).alias("attrs"),
+    )
+    sch = S.table(
+        S.field("doc_id", "string"),
+        S.field("attrs", S.map_of("string", elem_field=S.field(
+            "v", "string", required=True, pattern="^(src[0-9]+|[0-9]+)$"))),
+        unknown="strip",
+    )
+    _, viols, _ = validate_rows(mapped, sch, row_id_col())
+    return viols.select("row_id", "path", "code", "rule")
+
+
 def _q_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-object validation: pack (n_tok, source) into a struct and
     validate it through a nested TableSchema — child issues rebased at
@@ -388,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verdicts_by_source": _q_verdicts,
         "nested_struct_violations": _q_nested,
         "union_variant_violations": _q_union,
+        "map_value_violations": _q_map_values,
         "clean_token_checksum": _q_clean_checksum,
         "drift_psi_ks": _q_drift_psi,
         "text_profile": _q_text_profile,
@@ -580,6 +602,16 @@ FROM (SELECT o_custkey, o_orderkey, o_totalprice,
   UNION ALL
   SELECT {ROW_ID_SQL}, '/doc_id', 'required', 'required'
   FROM corpus WHERE _ord % 2 = 1 AND doc_id IS NULL"""),
+        "map_value_violations": _with_corpus(f"""
+  SELECT {ROW_ID_SQL} AS row_id, '/attrs/src' AS path, 'required' AS code,
+         'map_value_required' AS rule FROM corpus WHERE source IS NULL
+  UNION ALL
+  SELECT {ROW_ID_SQL}, '/attrs/src', 'pattern', 'pattern'
+  FROM corpus
+  WHERE source IS NOT NULL AND NOT regexp_matches(source, '^(src[0-9]+|[0-9]+)$')
+  UNION ALL
+  SELECT {ROW_ID_SQL}, '/attrs/ntoks', 'required', 'map_value_required'
+  FROM corpus WHERE n_tok IS NULL"""),
         "uniqueness_violations": _with_corpus(
             f"SELECT row_id, path, code, rule, first_ord, dup_ord, key_val FROM ({uniq})"),
         "referential_violations": _with_corpus(

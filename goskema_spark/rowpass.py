@@ -378,26 +378,60 @@ def _compile_array(out: CompiledChecks, f: Field, col: Column, p: str, actual_ty
 
 def _compile_map(out: CompiledChecks, f: Field, col: Column, p: str):
     """Homogeneous map value validation (reference dsl/map_core.go:48-119),
-    issues at /<field>/<key> with RFC6901-escaped keys."""
+    issues at /<field>/<key> with RFC6901-escaped keys. Each map value is
+    validated against the full elem Field spec (first failing check per
+    entry is reported, matching the reference's per-value short-circuit)."""
     spec: MapSpec = f.dtype
 
     def key_path(k):
         esc = F.regexp_replace(F.regexp_replace(k, "~", "~0"), "/", "~1")
         return F.concat(F.lit(p + "/"), esc)
 
+    # each check: (cond(v) -> Column, code, rule, params(v) -> dict | None)
     conds = []
     if spec.value_min is not None:
-        conds.append((lambda v: v < spec.value_min, Codes.TOO_SMALL, "map_value_min",
+        conds.append((lambda v: v.isNotNull() & (v < spec.value_min),
+                      Codes.TOO_SMALL, "map_value_min",
                       lambda v: {"min": spec.value_min, "got": v}))
     if spec.value_max is not None:
-        conds.append((lambda v: v > spec.value_max, Codes.TOO_BIG, "map_value_max",
+        conds.append((lambda v: v.isNotNull() & (v > spec.value_max),
+                      Codes.TOO_BIG, "map_value_max",
                       lambda v: {"max": spec.value_max, "got": v}))
+    ef = spec.elem_field
+    if ef is not None:
+        if ef.required or not ef.nullable:
+            conds.append((lambda v: v.isNull(), Codes.REQUIRED,
+                          "map_value_required", None))
+        if ef.min is not None:
+            conds.append((lambda v: v.isNotNull() & (v < ef.min),
+                          Codes.TOO_SMALL, "min",
+                          lambda v: {"min": ef.min, "got": v}))
+        if ef.max is not None:
+            conds.append((lambda v: v.isNotNull() & (v > ef.max),
+                          Codes.TOO_BIG, "max",
+                          lambda v: {"max": ef.max, "got": v}))
+        if ef.enum is not None:
+            conds.append((lambda v: v.isNotNull() & ~v.isin(list(ef.enum)),
+                          Codes.INVALID_ENUM, "enum", lambda v: {"got": v}))
+        if ef.pattern is not None:
+            conds.append((lambda v: v.isNotNull() & ~v.rlike(ef.pattern),
+                          Codes.PATTERN, "pattern",
+                          lambda v: {"pattern": ef.pattern, "got": v}))
+        if ef.min_str_len is not None:
+            conds.append((lambda v: v.isNotNull() & (F.length(v) < ef.min_str_len),
+                          Codes.TOO_SHORT, "min_length",
+                          lambda v: {"min": ef.min_str_len, "got": F.length(v)}))
+        if ef.max_str_len is not None:
+            conds.append((lambda v: v.isNotNull() & (F.length(v) > ef.max_str_len),
+                          Codes.TOO_LONG, "max_length",
+                          lambda v: {"max": ef.max_str_len, "got": F.length(v)}))
     if not conds:
         return
     def entry_viol(k, v):
         expr = F.lit(None).cast(_VIOL_DDL)
-        for pred, code, rule, params in reversed(conds):
-            expr = F.when(v.isNotNull() & pred(v), violation(key_path(k), code, rule, params(v))).otherwise(expr)
+        for cond, code, rule, params in reversed(conds):
+            expr = F.when(cond(v), violation(key_path(k), code, rule,
+                                             params(v) if params else None)).otherwise(expr)
         return expr
     entries = F.transform(F.map_entries(col), lambda e: entry_viol(e["key"], e["value"]))
     out.add_array(F.filter(entries, lambda x: x.isNotNull()))

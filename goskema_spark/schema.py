@@ -75,11 +75,16 @@ class ArraySpec:
 
 @dataclass
 class MapSpec:
-    """map<string, V> with per-value bounds (reference dsl/map_core.go:39-46)."""
+    """map<string, V> with per-value validation (reference
+    dsl/map_core.go:39-119). value_min/value_max are numeric shorthands;
+    elem_field holds a FULL scalar Field spec (required/min/max/enum/
+    pattern/length bounds) applied to every map value, issues at
+    /<field>/<RFC6901-escaped key>."""
 
     value: str = "string"
     value_min: Optional[Any] = None
     value_max: Optional[Any] = None
+    elem_field: Optional["Field"] = None
 
 
 @dataclass

@@ -279,3 +279,26 @@ def test_union_variant_full_subschema(spark):
         ("e", "/iban", "required"),
         ("f", "/kind", "discriminator_unknown"),
     }
+
+
+def test_map_full_element_schema(spark):
+    """Map values validated against a full scalar Field spec
+    (reference dsl/map_core.go:48-119)."""
+    df = _df(spark, [
+        ("a", {"en": "hello", "ja": "konnichiwa"}),
+        ("b", {"en": None}),                  # required value
+        ("c", {"x/y": "Hi!"}),                # pattern fail + escaped key
+        ("d", {"en": "a"}),                   # min_str_len
+    ], T.StructType([T.StructField("id", T.StringType()),
+                     T.StructField("labels", T.MapType(T.StringType(), T.StringType()))]))
+    sch = S.table(
+        S.field("id", "string", required=True),
+        S.field("labels", S.map_of("string", elem_field=S.field(
+            "v", "string", required=True, pattern="^[a-z]+$", min_str_len=2))),
+    )
+    _, viols, _ = validate_rows(df, sch, F.col("id"))
+    assert _codes(viols) == {
+        ("b", "/labels/en", "required"),
+        ("c", "/labels/x~1y", "pattern"),
+        ("d", "/labels/en", "too_short"),
+    }
