@@ -25,7 +25,7 @@ from typing import Iterator, Optional
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from goskema_spark.issues import Codes, escape_pointer_token, message_for
-from goskema_spark.schema import TableSchema
+from goskema_spark.schema import ArraySpec, MapSpec, TableSchema
 
 PRESENCE_SEEN = 1
 PRESENCE_WAS_NULL = 2
@@ -85,6 +85,114 @@ def _walk(node, path: str, depth: int, opts: ParseOpts, issues: list,
     return node
 
 
+_INT_DTYPES = {"int8", "int16", "int32", "int", "int64", "long"}
+_FLOAT_DTYPES = {"double", "float"}
+
+
+def _issue(issues: list, path: str, code: str, rule: str, message=None):
+    issues.append((path, code, message if message is not None else message_for(code), rule))
+
+
+def _conform_scalar(v, dtype: str, path: str, issues: list):
+    """Coerce one raw JSON value to the declared scalar dtype; on
+    wire-type mismatch emit invalid_type (value -> None) instead of
+    letting a mistyped value reach the typed Arrow output schema, where
+    it would crash the whole mapInPandas batch. Mirrors the reference
+    tokenizer emitting invalid_type per value
+    (reference dsl/primitives.go:163-235)."""
+    if v is None:
+        return None
+    if dtype == "string":
+        if isinstance(v, str):
+            return v
+    elif dtype == "bool":
+        if isinstance(v, bool):
+            return v
+    elif dtype in _INT_DTYPES:
+        if isinstance(v, bool):
+            pass  # JSON true/false is not a number
+        elif isinstance(v, int):
+            return v
+        elif isinstance(v, float):
+            if v.is_integer():
+                return int(v)
+            _issue(issues, path, Codes.OVERFLOW, "int_fraction",
+                   "fractional part not allowed")
+            return None
+        elif isinstance(v, str):
+            # number coercion from string (reference dsl/primitives.go:180-205)
+            try:
+                return int(v)
+            except ValueError:
+                try:
+                    fv = float(v)
+                except ValueError:
+                    pass
+                else:
+                    if fv.is_integer():
+                        return int(fv)
+                    _issue(issues, path, Codes.OVERFLOW, "int_fraction",
+                           "fractional part not allowed")
+                    return None
+    elif dtype in _FLOAT_DTYPES:
+        if isinstance(v, bool):
+            pass
+        elif isinstance(v, (int, float)):
+            return float(v)
+        elif isinstance(v, str):
+            try:
+                return float(v)
+            except ValueError:
+                pass
+    elif dtype in ("timestamp", "date"):
+        if isinstance(v, str):
+            from datetime import date as _date, datetime as _dt
+            try:
+                if dtype == "date":
+                    return _date.fromisoformat(v)
+                return _dt.fromisoformat(v.replace("Z", "+00:00"))
+            except ValueError:
+                _issue(issues, path, Codes.INVALID_FORMAT, "format_rfc3339")
+                return None
+    elif dtype == "binary":
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v)
+        if isinstance(v, str):
+            return v.encode("utf-8")
+    _issue(issues, path, Codes.INVALID_TYPE, "type")
+    return None
+
+
+def _conform(v, f, path: str, issues: list):
+    """Conform a raw parsed value to the field's declared dtype
+    (scalars, arrays, maps, nested objects)."""
+    if v is None:
+        return None
+    dt = f.dtype
+    if isinstance(dt, ArraySpec):
+        if not isinstance(v, list):
+            _issue(issues, path, Codes.INVALID_TYPE, "type")
+            return None
+        return [_conform_scalar(x, dt.elem, f"{path}/{i}", issues)
+                for i, x in enumerate(v)]
+    if isinstance(dt, MapSpec):
+        if not isinstance(v, dict):
+            _issue(issues, path, Codes.INVALID_TYPE, "type")
+            return None
+        return {k: _conform_scalar(x, dt.value,
+                                   f"{path}/{escape_pointer_token(k)}", issues)
+                for k, x in v.items()}
+    if isinstance(dt, TableSchema):
+        if not isinstance(v, dict):
+            _issue(issues, path, Codes.INVALID_TYPE, "type")
+            return None
+        return {sf.name: (_conform(v[sf.name], sf,
+                                   f"{path}/{escape_pointer_token(sf.name)}", issues)
+                          if sf.name in v else None)
+                for sf in dt.fields}
+    return _conform_scalar(v, dt, path, issues)
+
+
 def parse_document(payload: str, schema: TableSchema, opts: ParseOpts):
     """Parse + enforce + apply schema to ONE document. Returns
     (values: dict, presence: dict[path->bits], issues: list[tuple])."""
@@ -119,7 +227,7 @@ def parse_document(payload: str, schema: TableSchema, opts: ParseOpts):
     for f in sorted(schema.fields, key=lambda x: x.name):
         kp = f"/{escape_pointer_token(f.name)}"
         if f.name in tree:
-            values[f.name] = tree[f.name]
+            values[f.name] = _conform(tree[f.name], f, kp, issues)
         elif f.default is not None:
             values[f.name] = f.default
             presence[kp] = presence.get(kp, 0) | PRESENCE_DEFAULT_APPLIED
@@ -153,8 +261,18 @@ def encode_preserving(values: dict, presence: dict, schema: TableSchema) -> str:
     return json.dumps(out, separators=(",", ":"), sort_keys=True)
 
 
+def _ingest_type(f) -> T.DataType:
+    # arrays always allow null elements on the ingest output: a
+    # type-mismatched element becomes null + an invalid_type issue, and
+    # the columnar row pass re-flags nulls as elem_type when the declared
+    # spec forbids them
+    if isinstance(f.dtype, ArraySpec):
+        return T.ArrayType(f.spark_type().elementType, True)
+    return f.spark_type()
+
+
 def _out_type(schema: TableSchema) -> T.StructType:
-    fields = [T.StructField(f.name, f.spark_type(), True) for f in schema.fields]
+    fields = [T.StructField(f.name, _ingest_type(f), True) for f in schema.fields]
     if schema.passthrough_target:
         fields.append(T.StructField(schema.passthrough_target,
                                     T.MapType(T.StringType(), T.StringType()), True))

@@ -25,9 +25,9 @@ Protocol:
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from goskema_spark.runner import ValidationResult, validate
@@ -44,13 +44,19 @@ LEDGER_SCHEMA = T.StructType([
     T.StructField("finished_at", T.TimestampType(), True),
 ])
 
-_NULL_SRC = "\x00<null>"  # ledger key for a NULL partition value
+_NULL_SRC = "__NULL__"  # ledger / dir-safe key for a NULL partition value
 
 
 def completed_partitions(spark: SparkSession, ledger_path: str, run_id: str) -> set:
-    if not os.path.exists(ledger_path):
+    """Partitions already ledgered under run_id. The existence probe goes
+    through the Spark reader (AnalysisException on a missing path), not
+    the driver's local filesystem, so s3://... / hdfs://... ledger paths
+    resume correctly on a real cluster."""
+    try:
+        led = spark.read.parquet(ledger_path)
+    except AnalysisException:
         return set()
-    led = spark.read.parquet(ledger_path).filter(F.col("run_id") == run_id)
+    led = led.filter(F.col("run_id") == run_id)
     return {r["source"] if r["source"] is not None else _NULL_SRC
             for r in led.select("source").distinct().collect()}
 
@@ -85,22 +91,38 @@ def run_with_ledger(
             cond = cond | F.col(partition_col).isNull()
         df = df.filter(cond)  # partition-pruned re-scan
 
-    remaining = [r[0] for r in df.select(partition_col).distinct().collect()]
-    if not remaining:
-        return None
     if fail_partition_limit:
+        # test hook only: needs the explicit partition list
+        remaining = [r[0] for r in df.select(partition_col).distinct().collect()]
+        if not remaining:
+            return None
         keep = sorted((s for s in remaining if s is not None))[:fail_partition_limit]
-        cond = F.col(partition_col).isin(keep)
-        df = df.filter(cond)
+        df = df.filter(F.col(partition_col).isin(keep))
+    elif not df.select(partition_col).take(1):
+        # emptiness probe, not a distinct-collect: partition_col may be
+        # higher-cardinality than the ledger protocol expects (it should
+        # be a low-cardinality logical partition like `source`), and
+        # take(1) stops at the first row
+        return None
 
     started = F.current_timestamp()
     res = validate(df, schema, row_id, dims=dims, partition_col=partition_col,
                    uniqueness_scope=full_df)
 
     if violations_path:
-        res.violations.withColumn("run_id", F.lit(run_id)) \
-            .withColumn("params", F.to_json("params")) \
-            .write.mode("append").parquet(violations_path)
+        # Idempotent under crash-resume: violations land in
+        # (run_id, partition) directories with DYNAMIC partition
+        # overwrite, so a partition re-validated after a crash between
+        # the violations write and the ledger write REPLACES its rows
+        # instead of appending duplicates.
+        (res.violations
+         .withColumn("run_id", F.lit(run_id))
+         .withColumn("params", F.to_json("params"))
+         .withColumn("part_key", F.coalesce(F.col(partition_col), F.lit(_NULL_SRC)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("run_id", "part_key")
+         .parquet(violations_path))
 
     check_names = (["rowpass"]
                    + [f"unique_{u.column}" for u in schema.unique_keys]

@@ -118,3 +118,35 @@ def test_passthrough_policy(spark):
     row = ingest_json(df, sch).collect()[0]
     assert row["extra"] == {"zzz": "42"}
     assert not row["_ingest_violations"]
+
+
+def test_type_mismatch_emits_invalid_type_not_crash(spark):
+    """A payload whose values don't match the declared dtypes must yield
+    invalid_type issues (value -> null), never an Arrow crash of the
+    whole batch (the reference tokenizer emits invalid_type per value)."""
+    import pyspark.sql.types as T2
+    docs = [
+        '{"doc_id":"a","tokens":"oops","n_tok":"abc","source":"web"}',
+        '{"doc_id":"b","tokens":[1,"x",2.5,3],"n_tok":"12","source":7}',
+        '{"doc_id":"c","tokens":[1,2],"n_tok":2.75,"source":"web"}',
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], T2.StructType(
+        [T2.StructField("payload", T2.StringType(), False)]))
+    rows = {r["doc_id"]: r for r in ingest_json(df, _schema()).collect()}
+
+    a = rows["a"]
+    a_issues = {(i["path"], i["code"]) for i in a["_ingest_violations"]}
+    assert ("/tokens", "invalid_type") in a_issues
+    assert ("/n_tok", "invalid_type") in a_issues
+    assert a["tokens"] is None and a["n_tok"] is None
+
+    b = rows["b"]
+    b_issues = {(i["path"], i["code"]) for i in b["_ingest_violations"]}
+    assert ("/tokens/1", "invalid_type") in b_issues  # "x" not an int
+    assert ("/source", "invalid_type") in b_issues    # 7 not a string
+    assert b["tokens"] == [1, None, None, 3] or b["tokens"] == [1, None, 2, 3]
+    assert b["n_tok"] == 12                           # numeric-string coercion
+
+    c = rows["c"]
+    c_issues = {(i["path"], i["code"], i["rule"]) for i in c["_ingest_violations"]}
+    assert ("/n_tok", "overflow", "int_fraction") in c_issues

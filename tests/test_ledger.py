@@ -75,3 +75,31 @@ def test_ledger_checks_map_and_null_partition(spark):
         assert viols.filter(F.col("run_id") == "x").count() > 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_resume_violations_not_duplicated(spark):
+    """Crash between the violations write and the ledger write: the
+    resume re-validates those partitions and must REPLACE their violation
+    rows (dynamic partition overwrite), not append duplicates."""
+    corpus = corpus_from_documents(spark, SF)
+    dims = {"dim_source": dim_source_df(spark)}
+    tmp = tempfile.mkdtemp()
+    try:
+        run_with_ledger(spark, corpus, corpus_schema(), row_id_col(),
+                        run_id="ref", ledger_path=f"{tmp}/led_ref", dims=dims,
+                        violations_path=f"{tmp}/v_ref")
+        ref_n = spark.read.parquet(f"{tmp}/v_ref").count()
+
+        # partial run writes violations for 5 partitions, then "crash"
+        # loses the ledger (worst-case ordering)
+        run_with_ledger(spark, corpus, corpus_schema(), row_id_col(),
+                        run_id="r", ledger_path=f"{tmp}/led", dims=dims,
+                        violations_path=f"{tmp}/v", fail_partition_limit=5)
+        shutil.rmtree(f"{tmp}/led")
+
+        run_with_ledger(spark, corpus, corpus_schema(), row_id_col(),
+                        run_id="r", ledger_path=f"{tmp}/led", dims=dims,
+                        violations_path=f"{tmp}/v")
+        assert spark.read.parquet(f"{tmp}/v").count() == ref_n
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
