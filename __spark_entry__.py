@@ -320,8 +320,12 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from goskema_spark.ops.dedup import jaccard_pairs
-    p = jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    """Production composition: LSH candidates first, exact Jaccard only
+    on the candidate subset (never the unguarded all-pairs join)."""
+    from goskema_spark.ops.dedup import jaccard_pairs, minhash_candidate_pairs
+    docs = _docs(spark, sf_dir)
+    cands = minhash_candidate_pairs(docs)
+    p = jaccard_pairs(docs, threshold=0.5, candidates=cands)
     return p.select(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"),
                     F.col("inter").cast("bigint"), F.col("n_a").cast("bigint"),
                     F.col("n_b").cast("bigint"), F.col("jaccard").cast("double"))
@@ -440,32 +444,40 @@ _STOP_IN = "('the','a','of','and','to','in','is','it','for','on')"
 
 
 def _simhash_sql() -> str:
+    # md5(w) computed once per word (CTE `wd`), all 16 bits derived from
+    # substrings of that single hash — lockstep with the Spark side
     sums = ", ".join(
-        "SUM(CASE WHEN substring(md5(w), {k}, 1) IN "
+        "SUM(CASE WHEN substring(h, {k}, 1) IN "
         "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{k}".format(k=k)
         for k in range(1, 17))
     bits = " || ".join(f"CASE WHEN s{k} >= 0 THEN '1' ELSE '0' END" for k in range(1, 17))
     return f"""
-WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+WITH wd AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
 b AS (SELECT doc_id, {sums} FROM wd GROUP BY doc_id)
 SELECT CAST(doc_id AS BIGINT) AS doc_id, {bits} AS simhash FROM b"""
 
 
-def _minhash_sql() -> str:
+def _minhash_ctes() -> str:
     sig_cols = ", ".join(f"MIN(md5('{j}|' || s)) AS sig_{j}" for j in range(8))
     bands = "\nUNION ALL\n".join(
         f"SELECT {b} AS band, md5(sig_{2*b} || '|' || sig_{2*b+1}) AS bucket, doc_id FROM sigs"
         for b in range(4))
-    return f"""
-WITH {_SHINGLES_CTE},
+    return f"""{_SHINGLES_CTE},
 sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
 buckets AS ({bands}),
-ok AS (SELECT band, bucket FROM buckets GROUP BY band, bucket
-       HAVING COUNT(*) > 1 AND COUNT(*) <= 1000)
+okb AS (SELECT band, bucket FROM buckets GROUP BY band, bucket
+        HAVING COUNT(*) > 1 AND COUNT(*) <= 1000)"""
+
+
+_MINHASH_PAIRS = """
 SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b
 FROM buckets a
 JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket"""
+JOIN okb ON okb.band = a.band AND okb.bucket = a.bucket"""
+
+
+def _minhash_sql() -> str:
+    return f"WITH {_minhash_ctes()}\n{_MINHASH_PAIRS}"
 
 
 _TEXT_PROFILE_SQL = f"""
@@ -526,20 +538,22 @@ SELECT fp, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(MIN(doc_id) AS BIGINT) AS keep_
 FROM p GROUP BY fp HAVING COUNT(*) > 1""",
         "minhash_candidates": _minhash_sql(),
         "ngram_jaccard_pairs": f"""
-WITH {_SHINGLES_CTE},
+WITH {_minhash_ctes()},
+cand AS ({_MINHASH_PAIRS}),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
-SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
-  CAST(inter AS BIGINT) AS inter, CAST(sa.n_sh AS BIGINT) AS n_a,
+SELECT CAST(inter.id_a AS BIGINT) AS id_a, CAST(inter.id_b AS BIGINT) AS id_b,
+  CAST(inter.inter AS BIGINT) AS inter, CAST(sa.n_sh AS BIGINT) AS n_a,
   CAST(sb.n_sh AS BIGINT) AS n_b,
-  ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+  ROUND(inter.inter / (sa.n_sh + sb.n_sh - inter.inter), 6) AS jaccard
 FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5""",
+JOIN cand ON cand.id_a = inter.id_a AND cand.id_b = inter.id_b
+JOIN sizes sa ON sa.doc_id = inter.id_a
+JOIN sizes sb ON sb.doc_id = inter.id_b
+WHERE ROUND(inter.inter / (sa.n_sh + sb.n_sh - inter.inter), 6) >= 0.5""",
         "simhash_signatures": _simhash_sql(),
         "embedding_cosine_topk": f"""
 WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),

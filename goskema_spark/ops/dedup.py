@@ -114,12 +114,31 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
 
 def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   shingle_n: int = 3, threshold: float = 0.5,
-                  candidates: DataFrame | None = None) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle (or
-    restricted to `candidates` (id_a, id_b) when given).
-    Returns (id_a, id_b, inter, n_a, n_b, jaccard) with jaccard >= threshold."""
+                  candidates: DataFrame | None = None,
+                  allow_all_pairs: bool = False) -> DataFrame:
+    """Exact n-gram Jaccard similarity, restricted to `candidates`
+    (id_a, id_b) — normally the output of minhash_candidate_pairs.
+    Returns (id_a, id_b, inter, n_a, n_b, jaccard) with jaccard >= threshold.
+
+    Without candidates this joins ALL pairs sharing any shingle —
+    quadratic on common shingles and a scale-killer on a real corpus —
+    so it requires an explicit allow_all_pairs=True opt-in (test scale
+    only). With candidates, the shingle relation is first semi-joined to
+    candidate doc ids, so the pair join fans out only over the
+    LSH-filtered subset."""
+    if candidates is None and not allow_all_pairs:
+        raise ValueError(
+            "jaccard_pairs without candidates joins all pairs sharing any "
+            "shingle (quadratic on boilerplate shingles at corpus scale); "
+            "pass candidates=minhash_candidate_pairs(df) or opt in with "
+            "allow_all_pairs=True")
     sh = df.select(F.col(id_col).alias("_id"),
                    F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"))
+    if candidates is not None:
+        cand_ids = (candidates.select(F.col("id_a").alias("_id"))
+                    .unionByName(candidates.select(F.col("id_b").alias("_id")))
+                    .distinct())
+        sh = sh.join(cand_ids, "_id", "left_semi")
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("_id").alias("id_a"), "sh")
     b = sh.select(F.col("_id").alias("id_b"), "sh")
@@ -163,9 +182,31 @@ def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
     return F.concat(*digits)
 
 
+_HEX_HIGH = ["8", "9", "a", "b", "c", "d", "e", "f"]
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", bits: int = SIMHASH_BITS) -> DataFrame:
-    return df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("simhash"))
+    """Single-hash simhash: md5(word) is computed ONCE per word behind a
+    projection boundary, then one array-aggregate pass derives all
+    `bits` ±1 sums from substrings of that hash (the naive column form
+    re-hashes every word per bit — 16x wasted md5 at bits=16). Bit
+    semantics identical to simhash()."""
+    hashes = F.transform(F.split(F.col(text_col), " "), lambda x: F.md5(x))
+    tmp = df.select(F.col(id_col), hashes.alias("_h"))
+
+    def step(acc, h):
+        contrib = F.array(*[
+            F.when(F.substring(h, k + 1, 1).isin(*_HEX_HIGH), 1).otherwise(-1)
+            for k in range(bits)])
+        return F.zip_with(acc, contrib, lambda a, c: a + c)
+
+    sums = F.aggregate(F.col("_h"), F.array_repeat(F.lit(0), bits), step)
+    tmp2 = tmp.select(F.col(id_col), sums.alias("_s"))
+    digits = F.concat(*[
+        F.when(F.element_at(F.col("_s"), k + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for k in range(bits)])
+    return tmp2.select(F.col(id_col), digits.alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",

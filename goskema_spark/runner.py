@@ -83,7 +83,8 @@ def validate(
     for uk in schema.unique_keys:
         ordinal = uk.ordinal or uk.column
         scope = uniqueness_scope if uniqueness_scope is not None else df
-        uv = uniqueness_violations(scope, uk.column, ordinal, row_id, carry=carry)
+        uv = uniqueness_violations(scope, uk.column, ordinal, row_id, carry=carry,
+                                   broadcast=getattr(uk, "broadcast", True))
         if uniqueness_scope is not None and carry:
             parts = df.select(F.col(partition_col).alias("_part")).distinct()
             uv = uv.join(F.broadcast(parts),

@@ -131,10 +131,13 @@ class Refinement:
 @dataclass
 class UniqueKey:
     """Cross-row uniqueness of a key column (reference rules/rules.go:104-137
-    UniqueBy semantics: code `uniqueness`, params first/dup/key)."""
+    UniqueBy semantics: code `uniqueness`, params first/dup/key).
+    broadcast: True | False | "auto" — dup-key join strategy, see
+    uniqueness.uniqueness_violations."""
 
     column: str
     ordinal: Optional[str] = None  # stable ordering column for first/dup params
+    broadcast: Any = True
 
 
 @dataclass

@@ -58,17 +58,38 @@ def duplicate_keys(df: DataFrame, key: str, salt_buckets: int = 0) -> DataFrame:
 
 
 def uniqueness_violations(df: DataFrame, key: str, ordinal: str,
-                          row_id: Column, carry=()) -> DataFrame:
+                          row_id: Column, carry=(),
+                          broadcast=True,
+                          broadcast_threshold_keys: int = 4_000_000) -> DataFrame:
     """Violation rows for every non-first occurrence of a duplicated key.
 
     `ordinal` must be a stable, deterministic ordering column (e.g. the
     source ordinal of the row) so first/dup params are reproducible —
     goskema's input-order indices (rules.go:117-131) mapped to a
     distributed setting.
+
+    broadcast: True (default) forces the broadcast hint on the dup-key
+    semi-join — right at any realistic duplicate rate, and keeps the
+    whole check a single job. False drops the hint and lets AQE pick the
+    join from runtime stats (the safe choice when the duplicate rate may
+    be pathological — a boilerplate-heavy corpus can have 10^8+
+    duplicated keys, which would blow the driver if broadcast). "auto"
+    keeps the hint only under a row-count probe capped at
+    broadcast_threshold_keys (one extra small action; the dup relation
+    is persisted so the main job reuses it), falling back to the AQE
+    path above the cap.
     """
     dups = duplicate_keys(df, key)
-    # broadcast the (small) duplicate-key set; window only over the subset
-    sub = df.join(F.broadcast(dups.select(key)), key, "inner")
+    if broadcast == "auto":
+        dups = dups.persist()
+        # limit()+count probe: stops scanning the agg output past the cap
+        over = dups.limit(broadcast_threshold_keys + 1).count() > broadcast_threshold_keys
+        broadcast = not over
+    dup_keys = dups.select(key)
+    if broadcast:
+        dup_keys = F.broadcast(dup_keys)
+    # semi-join the dup-key set; window only over that subset
+    sub = df.join(dup_keys, key, "inner")
     w = Window.partitionBy(key).orderBy(F.col(ordinal).asc())
     first = F.min(ordinal).over(w)
     sub = sub.withColumn("_first", first).filter(F.col(ordinal) != F.col("_first"))

@@ -51,11 +51,25 @@ def test_minhash_finds_near_dups(spark):
 
 
 def test_jaccard_exact_values(spark):
+    import pytest
+    # unguarded all-pairs requires an explicit opt-in
+    with pytest.raises(ValueError, match="allow_all_pairs"):
+        jaccard_pairs(_mini_docs(spark), threshold=0.3)
     pairs = {(r["id_a"], r["id_b"]): r for r in
-             jaccard_pairs(_mini_docs(spark), threshold=0.3).collect()}
+             jaccard_pairs(_mini_docs(spark), threshold=0.3,
+                           allow_all_pairs=True).collect()}
     assert pairs[(1, 3)]["jaccard"] == 1.0
     # docs 1/2 share 6 of 7+7 distinct 3-gram shingles: j = 6/8
     assert abs(pairs[(1, 2)]["jaccard"] - 0.75) < 1e-9
+    # candidate-guarded composition: same values on the candidate subset,
+    # and the shingle relation is pre-filtered to candidate ids
+    cands = minhash_candidate_pairs(_mini_docs(spark))
+    guarded = {(r["id_a"], r["id_b"]): r for r in
+               jaccard_pairs(_mini_docs(spark), threshold=0.3,
+                             candidates=cands).collect()}
+    for key, row in guarded.items():
+        assert row["jaccard"] == pairs[key]["jaccard"]
+    assert (1, 3) in guarded
 
 
 def test_simhash_near_pairs(spark):
@@ -114,3 +128,56 @@ def test_text_profile_columns(spark):
     # deterministic: same text -> same fingerprint
     again = text_profile(_docs(spark)).filter(F.col("doc_id") == 0).collect()[0]
     assert again["fp"] == row["fp"] and again["quality"] == row["quality"]
+
+
+def test_lsh_plan_size_flat_in_dim(spark):
+    """Packed hyperplane literals: plan node count must not grow with
+    dim (the old per-component chain was dim*n_bits expression terms)."""
+    from goskema_spark.ops.similarity import sign_lsh_signature
+    import pyspark.sql.types as T2
+    nodes = {}
+    for dim in (64, 512):
+        df = spark.createDataFrame(
+            [(1, [0.1] * dim)], T2.StructType([
+                T2.StructField("vec_id", T2.LongType()),
+                T2.StructField("embedding", T2.ArrayType(T2.DoubleType()))]))
+        out = df.select(sign_lsh_signature(F.col("embedding"), dim, 8).alias("s"))
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        # each hyperplane folds to ONE array literal: no element_at chains,
+        # and the NODE count (plan tree lines + expression markers) is the
+        # same at dim=64 and dim=512 — only embedded literal DATA grows
+        assert "element_at" not in plan
+        nodes[dim] = (len(plan.splitlines()), plan.count("aggregate("),
+                      plan.count("zip_with"))
+    assert nodes[64] == nodes[512], f"plan shape grew with dim: {nodes}"
+
+
+def test_lsh_recall_high_dim(spark):
+    """dim=512 recall vs brute force with multi-table + multi-probe and
+    the pandas matmul signature path: clustered synthetic vectors, so
+    true neighbors share buckets with high probability."""
+    import numpy as np
+    import pyspark.sql.types as T2
+    rng = np.random.RandomState(7)
+    dim, n_clusters, per = 512, 12, 12
+    centers = rng.randn(n_clusters, dim)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = centers[c] + 0.05 * rng.randn(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, T2.StructType([
+        T2.StructField("vec_id", T2.LongType()),
+        T2.StructField("embedding", T2.ArrayType(T2.DoubleType()))]))
+    queries = emb.filter(F.col("vec_id") % per == 0).limit(6).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    exact = {(r["q_id"], r["neighbor_id"])
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r["q_id"], r["neighbor_id"])
+              for r in lsh_topk(emb, queries, k=5, dim=dim, n_bits=8,
+                                n_tables=3, multi_probe=1,
+                                use_pandas=True).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall {recall} below 0.9"

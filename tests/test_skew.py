@@ -40,3 +40,32 @@ def test_hot_key_violations(spark, skew_df):
     firsts = {r["params"]["first"] for r in rows}
     assert firsts == {"0"}  # ordinal 0 is the first HOT occurrence
     assert all(r["code"] == "uniqueness" for r in rows)
+
+
+def test_high_duplicate_rate_fallback(spark):
+    """Pathological duplicate rate (50% of keys duplicated): the "auto"
+    strategy must fall back to a non-broadcast join above the key cap
+    and still produce exact results; broadcast=False (pure AQE) must
+    agree."""
+    n = 20_000
+    df = spark.range(n).select(
+        # ids 0..n/2-1 appear twice (id and id+n/2 share a key)
+        F.concat(F.lit("k"), (F.col("id") % (n // 2)).cast("string")).alias("doc_id"),
+        F.col("id").alias("_ord"),
+    )
+    rid = F.col("doc_id")
+    expected = n // 2  # one non-first occurrence per duplicated key
+
+    auto = uniqueness_violations(df, "doc_id", "_ord", rid,
+                                 broadcast="auto", broadcast_threshold_keys=100)
+    # above the cap the dup-key join must NOT carry a forced broadcast
+    # hint (AQE may still pick broadcast from runtime sizes — the point
+    # is no forced 10^8-key build side)
+    assert "strategy=broadcast" not in auto._jdf.queryExecution().analyzed().toString()
+    assert auto.count() == expected
+
+    forced = uniqueness_violations(df, "doc_id", "_ord", rid, broadcast=True)
+    assert "strategy=broadcast" in forced._jdf.queryExecution().analyzed().toString()
+
+    aqe = uniqueness_violations(df, "doc_id", "_ord", rid, broadcast=False)
+    assert aqe.count() == expected
