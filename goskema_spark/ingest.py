@@ -25,7 +25,7 @@ from typing import Iterator, Optional
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from goskema_spark.issues import Codes, escape_pointer_token, message_for
-from goskema_spark.schema import ArraySpec, MapSpec, TableSchema
+from goskema_spark.schema import ArraySpec, Field, MapSpec, TableSchema
 
 PRESENCE_SEEN = 1
 PRESENCE_WAS_NULL = 2
@@ -169,10 +169,21 @@ def _conform(v, f, path: str, issues: list):
     if v is None:
         return None
     dt = f.dtype
+    if getattr(f, "int_or_string", False):
+        # x-kubernetes-int-or-string: accept either wire type, render as
+        # string in the (single-typed) column
+        if isinstance(v, bool) or not isinstance(v, (int, str)):
+            _issue(issues, path, Codes.INVALID_TYPE, "type")
+            return None
+        return str(v)
     if isinstance(dt, ArraySpec):
         if not isinstance(v, list):
             _issue(issues, path, Codes.INVALID_TYPE, "type")
             return None
+        if dt.elem_schema is not None:
+            elem_f = Field(name="", dtype=dt.elem_schema)
+            return [_conform(x, elem_f, f"{path}/{i}", issues)
+                    for i, x in enumerate(v)]
         return [_conform_scalar(x, dt.elem, f"{path}/{i}", issues)
                 for i, x in enumerate(v)]
     if isinstance(dt, MapSpec):

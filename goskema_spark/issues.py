@@ -42,6 +42,8 @@ class Codes:
     BUSINESS_RULE = "business_rule"
     CONFLICT = "conflict"
     DEPENDENCY_UNAVAILABLE = "dependency_unavailable"
+    # k8s list-type uniqueness (reference kubeopenapi/list.go:29,63)
+    DUPLICATE_ITEM = "duplicate_item"
 
 
 ALL_CODES = frozenset(

@@ -170,25 +170,60 @@ def compile_checks(schema: TableSchema, df: DataFrame) -> CompiledChecks:
     return out
 
 
-def _compile_field(out: CompiledChecks, f: Field, col: Column, p: str, phys_type):
-    """Compile one field's checks at pointer `p`; phys_type is the
-    physical Spark DataType of the bound column (None if unknown)."""
-    type_str = phys_type.simpleString() if phys_type is not None else ""
+def _pjoin(p, suffix):
+    """Join a JSON pointer (str or Column) with a suffix (str or Column).
+    Stays a python str when both sides are static — dynamic (per-index)
+    paths become Column concats."""
+    if isinstance(p, str) and isinstance(suffix, str):
+        return p + suffix
+    pc = p if isinstance(p, Column) else F.lit(p)
+    sc = suffix if isinstance(suffix, Column) else F.lit(suffix)
+    return F.concat(pc, sc)
 
+
+def _type_str(phys_type) -> str:
+    return phys_type.simpleString() if phys_type is not None else ""
+
+
+def _compile_field(out: CompiledChecks, f: Field, col: Column, p, phys_type):
+    """Compile one field's checks at pointer `p` (str, or Column for
+    dynamic per-element paths); phys_type is the physical Spark DataType
+    of the bound column (None if unknown)."""
     if f.required and f.default is None:
         out.add(col.isNull(), p, Codes.REQUIRED, rule="required")
 
     if isinstance(f.dtype, ArraySpec):
-        _compile_array(out, f, col, p, type_str)
+        _compile_array(out, f, col, p, phys_type)
     elif isinstance(f.dtype, MapSpec):
         _compile_map(out, f, col, p)
     elif isinstance(f.dtype, TableSchema):
         _compile_nested(out, f, col, p, phys_type)
     else:
-        _compile_scalar(out, f, col, p, type_str)
+        _compile_scalar(out, f, col, p, _type_str(phys_type))
 
 
-def _compile_nested(out: CompiledChecks, f: Field, col: Column, p: str, phys_type):
+def _compile_object(sub: CompiledChecks, sub_schema: TableSchema, col: Column,
+                    p, phys_struct) -> None:
+    """Compile an object schema's checks against a struct-valued Column
+    (a nested column OR an array element), child paths rebased under `p`.
+    Caller gates the result on the struct being present."""
+    child_types = {sf.name: sf.dataType for sf in phys_struct.fields}
+    declared = set(sub_schema.field_names())
+    if sub_schema.unknown == "strict":
+        for name in sorted(set(child_types) - declared):
+            if not name.startswith("_"):
+                sub.add(F.lit(True), _pjoin(p, pointer(name)), Codes.UNKNOWN_KEY,
+                        rule="unknown_strict")
+    for cf in sorted(sub_schema.fields, key=lambda x: x.name):
+        cp = _pjoin(p, pointer(cf.name))
+        if cf.name not in child_types:
+            if cf.required and cf.default is None:
+                sub.add(F.lit(True), cp, Codes.REQUIRED, rule="required")
+            continue
+        _compile_field(sub, cf, col.getField(cf.name), cp, child_types[cf.name])
+
+
+def _compile_nested(out: CompiledChecks, f: Field, col: Column, p, phys_type):
     """Nested-object validation: a Field whose dtype is a TableSchema
     binds to a struct column; the child schema's full check set compiles
     recursively with child paths rebased under the parent pointer —
@@ -208,25 +243,10 @@ def _compile_nested(out: CompiledChecks, f: Field, col: Column, p: str, phys_typ
         # error — fail loudly instead of silently compiling zero checks
         raise TypeError(
             f"field '{p}' declares a nested object schema but the physical "
-            f"column type is {phys_type.simpleString() if phys_type is not None else 'unknown'}"
+            f"column type is {_type_str(phys_type) or 'unknown'}"
         )
-    child_types = {sf.name: sf.dataType for sf in phys_type.fields}
-    declared = set(sub_schema.field_names())
-
     sub = CompiledChecks()
-    if sub_schema.unknown == "strict":
-        for name in sorted(set(child_types) - declared):
-            if not name.startswith("_"):
-                sub.add(F.lit(True), p + pointer(name), Codes.UNKNOWN_KEY,
-                        rule="unknown_strict")
-    for cf in sorted(sub_schema.fields, key=lambda x: x.name):
-        cp = p + pointer(cf.name)
-        if cf.name not in child_types:
-            if cf.required and cf.default is None:
-                sub.add(F.lit(True), cp, Codes.REQUIRED, rule="required")
-            continue
-        _compile_field(sub, cf, col.getField(cf.name), cp, child_types[cf.name])
-
+    _compile_object(sub, sub_schema, col, p, phys_type)
     _gate_checks(out, sub, col.isNotNull())
 
 
@@ -302,10 +322,19 @@ def _compile_scalar(out: CompiledChecks, f: Field, col: Column, p: str, actual_t
                 Codes.INVALID_FORMAT, rule="format_rfc3339", params={"got": col})
 
 
-def _compile_array(out: CompiledChecks, f: Field, col: Column, p: str, actual_type: str):
+def _compile_array(out: CompiledChecks, f: Field, col: Column, p, phys_type):
+    from pyspark.sql import types as T
+
     spec: ArraySpec = f.dtype
+    actual_type = _type_str(phys_type)
+    elem_type = phys_type.elementType if isinstance(phys_type, T.ArrayType) else None
     nn = col.isNotNull()
     sz = F.size(col)
+    empty = F.array().cast(_VIOL_ARR_DDL)
+
+    def idx_path(i):
+        return F.concat(p if isinstance(p, Column) else F.lit(p),
+                        F.lit("/"), i.cast("string"))
 
     # length bounds (reference dsl/array.go:45-48, checks :137-158)
     if spec.min_len is not None:
@@ -320,7 +349,7 @@ def _compile_array(out: CompiledChecks, f: Field, col: Column, p: str, actual_ty
     # (reference dsl/array.go:79-117; paths rebased like /items/0/foo)
     elem_conds = []
     def elem_viol(t, i):
-        path = F.concat(F.lit(p + "/"), i.cast("string"))
+        path = idx_path(i)
         conds = []
         if not spec.elem_nullable:
             conds.append((t.isNull(), Codes.INVALID_TYPE, "elem_type", None))
@@ -340,8 +369,10 @@ def _compile_array(out: CompiledChecks, f: Field, col: Column, p: str, actual_ty
             expr = F.when(cond, violation(path, code, rule, params)).otherwise(expr)
         return expr
 
-    has_elem_checks = (not spec.elem_nullable) or spec.elem_min is not None \
-        or spec.elem_max is not None or (spec.elem in INT_RANGES and actual_type == "array<bigint>")
+    has_elem_checks = spec.elem_schema is None and (
+        (not spec.elem_nullable) or spec.elem_min is not None
+        or spec.elem_max is not None
+        or (spec.elem in INT_RANGES and actual_type == "array<bigint>"))
     if has_elem_checks:
         # fast path: a cheap short-circuiting exists() gates the expensive
         # per-element struct construction — clean rows (the overwhelming
@@ -374,6 +405,76 @@ def _compile_array(out: CompiledChecks, f: Field, col: Column, p: str, actual_ty
         if spec.contains_max is not None:
             out.add(nn & (cnt > spec.contains_max), p, Codes.TOO_LONG, rule="contains_max",
                     params={"max": spec.contains_max, "got": cnt})
+
+    # array<struct> with a full per-element object schema — issues at
+    # /<field>/<i>/<child>, recursing through nested objects/arrays
+    # (reference kubeopenapi nested CRD arrays, adapters.go object items)
+    if spec.elem_schema is not None:
+        if not isinstance(elem_type, T.StructType):
+            raise TypeError(
+                f"field '{p}' declares an array element object schema but the "
+                f"physical type is {actual_type or 'unknown'}")
+
+        def elem_obj_viols(t, i):
+            ep = idx_path(i)
+            sub = CompiledChecks()
+            if not spec.elem_nullable:
+                sub.add(t.isNull(), ep, Codes.INVALID_TYPE, rule="elem_type")
+            inner = CompiledChecks()
+            _compile_object(inner, spec.elem_schema, t, ep, elem_type)
+            _gate_checks(sub, inner, t.isNotNull())
+            return sub.combined()
+
+        out.add_array(F.when(nn, F.flatten(F.transform(col, elem_obj_viols)))
+                      .otherwise(empty))
+
+    # x-kubernetes-list-type: set — within-row element uniqueness
+    # (reference kubeopenapi/list.go:20-40 setChecker, code duplicate_item)
+    if spec.list_set:
+        def set_dup(t, i):
+            first = F.array_position(col, t) - 1
+            return F.when(
+                t.isNotNull() & (first != i),
+                violation(idx_path(i), Codes.DUPLICATE_ITEM, rule="list_set_unique",
+                          params={"first": first, "dup": i, "key": t},
+                          message="duplicate element in set"))
+        out.add_array(F.when(nn, F.filter(F.transform(col, set_dup),
+                                          lambda x: x.isNotNull())).otherwise(empty))
+
+    # x-kubernetes-list-type: map — uniqueness by composite element key +
+    # required key fields (reference kubeopenapi/list.go:43-100 mapChecker)
+    if spec.list_map_keys:
+        keys = list(spec.list_map_keys)
+        keys_arr = F.transform(col, lambda e: F.struct(
+            *[e.getField(k).alias(k) for k in keys]))
+
+        def map_dup(t, i):
+            ks = F.struct(*[t.getField(k).alias(k) for k in keys])
+            first = F.array_position(keys_arr, ks) - 1
+            return F.when(
+                t.isNotNull() & (first != i),
+                violation(idx_path(i), Codes.DUPLICATE_ITEM, rule="list_map_unique",
+                          params={"first": first, "dup": i},
+                          message="duplicate element in list-map by keys"))
+        out.add_array(F.when(nn, F.filter(F.transform(col, map_dup),
+                                          lambda x: x.isNotNull())).otherwise(empty))
+
+        # keys already declared required by the elem schema are covered
+        # by its own required check — don't double-report
+        covered = {cf.name for cf in (spec.elem_schema.fields if spec.elem_schema else [])
+                   if cf.required and cf.default is None}
+        probe_keys = [k for k in keys if k not in covered]
+        if probe_keys:
+            def missing_keys(t, i):
+                per_key = [
+                    F.when(t.isNotNull() & t.getField(k).isNull(),
+                           violation(F.concat(idx_path(i), F.lit(pointer(k))),
+                                     Codes.REQUIRED, rule="list_map_key_required",
+                                     message="required for list-map-keys"))
+                    for k in probe_keys]
+                return F.array(*per_key)
+            out.add_array(F.when(nn, F.filter(F.flatten(F.transform(col, missing_keys)),
+                                              lambda x: x.isNotNull())).otherwise(empty))
 
 
 def _compile_map(out: CompiledChecks, f: Field, col: Column, p: str):

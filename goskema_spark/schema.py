@@ -71,6 +71,15 @@ class ArraySpec:
     contains_pred: Optional[Callable[[Column], Column]] = None
     contains_min: Optional[int] = None
     contains_max: Optional[int] = None
+    # array<struct>: full per-element object schema, issues at
+    # /<field>/<i>/<child> (reference kubeopenapi nested CRD arrays)
+    elem_schema: Optional["TableSchema"] = None
+    # x-kubernetes-list-type: set -> within-row element uniqueness
+    # (reference kubeopenapi/list.go setChecker, code duplicate_item)
+    list_set: bool = False
+    # x-kubernetes-list-type: map + list-map-keys -> uniqueness by the
+    # composite key of these element fields (list.go mapChecker)
+    list_map_keys: Optional[list] = None
 
 
 @dataclass
@@ -102,9 +111,15 @@ class Field:
     max_str_len: Optional[int] = None  # too_long
     int_bits: Optional[str] = None  # 'int32' etc -> overflow guard
     format: Optional[str] = None  # e.g. 'rfc3339' -> invalid_format
+    # x-kubernetes-int-or-string: physical column is string; raw-JSON
+    # ingest accepts int OR string and renders ints as strings
+    # (reference kubeopenapi/adapters.go isIntOrString)
+    int_or_string: bool = False
 
     def spark_type(self) -> T.DataType:
         if isinstance(self.dtype, ArraySpec):
+            if self.dtype.elem_schema is not None:
+                return T.ArrayType(self.dtype.elem_schema.to_struct_type(), True)
             return T.ArrayType(_SPARK_TYPES[self.dtype.elem], self.dtype.elem_nullable)
         if isinstance(self.dtype, MapSpec):
             return T.MapType(T.StringType(), _SPARK_TYPES[self.dtype.value])
