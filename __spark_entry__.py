@@ -213,6 +213,23 @@ def _q_clean_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_listset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k8s list-type: set semantics over the first 8 tokens — within-row
+    duplicate elements are duplicate_item at /tok8/<i> (reference
+    kubeopenapi/list.go:20-40), compiled as pure column expressions."""
+    from goskema_spark import schema as S
+    corpus = _corpus(spark, sf_dir)
+    toks = corpus.select("doc_id", "_ord", F.slice("tokens", 1, 8).alias("tok8"))
+    sch = S.table(
+        S.field("doc_id", "string"),
+        S.field("tok8", S.ArraySpec(elem="int32", list_set=True,
+                                    elem_nullable=True)),
+        unknown="strip",
+    )
+    _, viols, _ = validate_rows(toks, sch, row_id_col())
+    return viols.select("row_id", "path", "code", "rule")
+
+
 def _q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discriminated union with full sub-schema variants: even ordinals
     are 'text' docs (n_tok capped at 32), odd are 'code' docs (n_tok at
@@ -414,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_struct_violations": _q_nested,
         "union_variant_violations": _q_union,
         "map_value_violations": _q_map_values,
+        "listset_duplicate_items": _q_listset,
         "clean_token_checksum": _q_clean_checksum,
         "drift_psi_ks": _q_drift_psi,
         "text_profile": _q_text_profile,
@@ -626,6 +644,14 @@ FROM (SELECT o_custkey, o_orderkey, o_totalprice,
   UNION ALL
   SELECT {ROW_ID_SQL}, '/attrs/ntoks', 'required', 'map_value_required'
   FROM corpus WHERE n_tok IS NULL"""),
+        "listset_duplicate_items": _with_corpus(f"""
+SELECT {ROW_ID_SQL.replace('doc_id', 'c.doc_id').replace('_ord', 'c._ord')} AS row_id,
+       '/tok8/' || CAST(u.i - 1 AS VARCHAR) AS path,
+       'duplicate_item' AS code, 'list_set_unique' AS rule
+FROM (SELECT doc_id, _ord, tokens[1:8] AS tok8 FROM corpus
+      WHERE tokens IS NOT NULL) c
+CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(c.tok8))) AS i) u
+WHERE list_position(c.tok8, c.tok8[u.i]) <> u.i"""),
         "uniqueness_violations": _with_corpus(
             f"SELECT row_id, path, code, rule, first_ord, dup_ord, key_val FROM ({uniq})"),
         "referential_violations": _with_corpus(

@@ -34,13 +34,22 @@ PRESENCE_DEFAULT_APPLIED = 4
 
 @dataclass
 class ParseOpts:
-    """Mirror of reference ParseOpt (types.go:51-58)."""
+    """Mirror of reference ParseOpt (types.go:51-58): Strictness
+    (duplicate keys, AllowNaN — types.go:23-27), DoS bounds, and
+    PresenceOpt Include/Exclude path-prefix filters (types.go:38-42)."""
 
     max_depth: int = 0          # 0 = unlimited
     max_bytes: int = 0          # 0 = unlimited
     on_duplicate_key: str = "error"  # 'error' | 'warn' | 'ignore'
     fail_fast: bool = False
     collect_presence: bool = True
+    presence_include: Optional[list] = None  # keep only these path prefixes
+    presence_exclude: Optional[list] = None  # drop these path prefixes
+    # NaN/±Inf numbers: emit invalid_type (rule allow_nan) when False.
+    # When True they parse without an issue; note the Arrow/pandas bridge
+    # stores NaN as null in the typed column (pandas' NaN-as-null
+    # sentinel) — the preserving `_encoded` output retains the NaN.
+    allow_nan: bool = False
 
 
 class _Obj:
@@ -93,7 +102,7 @@ def _issue(issues: list, path: str, code: str, rule: str, message=None):
     issues.append((path, code, message if message is not None else message_for(code), rule))
 
 
-def _conform_scalar(v, dtype: str, path: str, issues: list):
+def _conform_scalar(v, dtype: str, path: str, issues: list, allow_nan: bool = False):
     """Coerce one raw JSON value to the declared scalar dtype; on
     wire-type mismatch emit invalid_type (value -> None) instead of
     letting a mistyped value reach the typed Arrow output schema, where
@@ -114,6 +123,10 @@ def _conform_scalar(v, dtype: str, path: str, issues: list):
         elif isinstance(v, int):
             return v
         elif isinstance(v, float):
+            import math
+            if not math.isfinite(v):
+                _issue(issues, path, Codes.INVALID_TYPE, "type")
+                return None
             if v.is_integer():
                 return int(v)
             _issue(issues, path, Codes.OVERFLOW, "int_fraction",
@@ -135,15 +148,26 @@ def _conform_scalar(v, dtype: str, path: str, issues: list):
                            "fractional part not allowed")
                     return None
     elif dtype in _FLOAT_DTYPES:
+        import math
         if isinstance(v, bool):
             pass
         elif isinstance(v, (int, float)):
+            # AllowNaN strictness (reference types.go:23-27): NaN/±Inf
+            # only pass when explicitly allowed
+            if isinstance(v, float) and not math.isfinite(v) and not allow_nan:
+                _issue(issues, path, Codes.INVALID_TYPE, "allow_nan")
+                return None
             return float(v)
         elif isinstance(v, str):
             try:
-                return float(v)
+                fv = float(v)
             except ValueError:
                 pass
+            else:
+                if not math.isfinite(fv) and not allow_nan:
+                    _issue(issues, path, Codes.INVALID_TYPE, "allow_nan")
+                    return None
+                return fv
     elif dtype in ("timestamp", "date"):
         if isinstance(v, str):
             from datetime import date as _date, datetime as _dt
@@ -163,7 +187,7 @@ def _conform_scalar(v, dtype: str, path: str, issues: list):
     return None
 
 
-def _conform(v, f, path: str, issues: list):
+def _conform(v, f, path: str, issues: list, allow_nan: bool = False):
     """Conform a raw parsed value to the field's declared dtype
     (scalars, arrays, maps, nested objects)."""
     if v is None:
@@ -182,26 +206,28 @@ def _conform(v, f, path: str, issues: list):
             return None
         if dt.elem_schema is not None:
             elem_f = Field(name="", dtype=dt.elem_schema)
-            return [_conform(x, elem_f, f"{path}/{i}", issues)
+            return [_conform(x, elem_f, f"{path}/{i}", issues, allow_nan)
                     for i, x in enumerate(v)]
-        return [_conform_scalar(x, dt.elem, f"{path}/{i}", issues)
+        return [_conform_scalar(x, dt.elem, f"{path}/{i}", issues, allow_nan)
                 for i, x in enumerate(v)]
     if isinstance(dt, MapSpec):
         if not isinstance(v, dict):
             _issue(issues, path, Codes.INVALID_TYPE, "type")
             return None
         return {k: _conform_scalar(x, dt.value,
-                                   f"{path}/{escape_pointer_token(k)}", issues)
+                                   f"{path}/{escape_pointer_token(k)}", issues,
+                                   allow_nan)
                 for k, x in v.items()}
     if isinstance(dt, TableSchema):
         if not isinstance(v, dict):
             _issue(issues, path, Codes.INVALID_TYPE, "type")
             return None
         return {sf.name: (_conform(v[sf.name], sf,
-                                   f"{path}/{escape_pointer_token(sf.name)}", issues)
+                                   f"{path}/{escape_pointer_token(sf.name)}",
+                                   issues, allow_nan)
                           if sf.name in v else None)
                 for sf in dt.fields}
-    return _conform_scalar(v, dt, path, issues)
+    return _conform_scalar(v, dt, path, issues, allow_nan)
 
 
 def parse_document(payload: str, schema: TableSchema, opts: ParseOpts):
@@ -238,7 +264,7 @@ def parse_document(payload: str, schema: TableSchema, opts: ParseOpts):
     for f in sorted(schema.fields, key=lambda x: x.name):
         kp = f"/{escape_pointer_token(f.name)}"
         if f.name in tree:
-            values[f.name] = _conform(tree[f.name], f, kp, issues)
+            values[f.name] = _conform(tree[f.name], f, kp, issues, opts.allow_nan)
         elif f.default is not None:
             values[f.name] = f.default
             presence[kp] = presence.get(kp, 0) | PRESENCE_DEFAULT_APPLIED
@@ -254,6 +280,25 @@ def parse_document(payload: str, schema: TableSchema, opts: ParseOpts):
     if opts.fail_fast and issues:
         issues = issues[:1]
     return values, presence, issues
+
+
+def filter_presence(presence: dict, opts: ParseOpts) -> dict:
+    """PresenceOpt Include/Exclude (reference types.go:38-42): path-prefix
+    filters over the EXPORTED presence map. The full map still drives the
+    preserving encode (filtering is a reporting concern, not a parsing
+    one)."""
+    inc, exc = opts.presence_include, opts.presence_exclude
+    if not inc and not exc:
+        return presence
+
+    def _keep(p: str) -> bool:
+        if inc and not any(p == i or p.startswith(i) for i in inc):
+            return False
+        if exc and any(p == e or p.startswith(e) for e in exc):
+            return False
+        return True
+
+    return {k: v for k, v in presence.items() if _keep(k)}
 
 
 def encode_preserving(values: dict, presence: dict, schema: TableSchema) -> str:
@@ -317,7 +362,8 @@ def ingest_json(df: DataFrame, schema: TableSchema,
             for payload in pdf[payload_col]:
                 values, presence, issues = parse_document(str(payload), schema, opts)
                 rec = dict(values)
-                rec["_presence"] = presence if opts.collect_presence else None
+                rec["_presence"] = (filter_presence(presence, opts)
+                                    if opts.collect_presence else None)
                 rec["_ingest_violations"] = [
                     {"path": p, "code": c, "message": m, "rule": r}
                     for (p, c, m, r) in issues

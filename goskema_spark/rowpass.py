@@ -167,6 +167,29 @@ def compile_checks(schema: TableSchema, df: DataFrame) -> CompiledChecks:
         out.add(cond, r.path, r.code, rule=r.name,
                 params=r.params() if r.params else None)
 
+    # Or-combinator (reference rules/rules.go:376-398): evaluate every
+    # branch's violation array; keep the FIRST branch with the fewest
+    # violations (zero-issue branch -> empty array wins automatically)
+    for orr in schema.or_refinements:
+        branch_arrays = []
+        for branch in orr.branches:
+            items = []
+            for r in branch:
+                cond = r.violates()
+                if r.when is not None:
+                    cond = r.when() & cond
+                items.append(_maybe(cond, violation(
+                    r.path, r.code, rule=f"{orr.name}:{r.name}",
+                    params=r.params() if r.params else None)))
+            branch_arrays.append(
+                F.filter(F.array(*items), lambda x: x.isNotNull())
+                if items else F.array().cast(_VIOL_ARR_DDL))
+        chosen = branch_arrays[0]
+        for arr in branch_arrays[1:]:
+            # strict < keeps the first minimal branch on ties
+            chosen = F.when(F.size(arr) < F.size(chosen), arr).otherwise(chosen)
+        out.add_array(chosen)
+
     return out
 
 

@@ -144,6 +144,17 @@ class Refinement:
 
 
 @dataclass
+class OrRefinement:
+    """Or-combinator (reference rules/rules.go:376-398): any branch with
+    zero issues -> no issues; otherwise report the branch with the FEWEST
+    issues (first minimal branch on ties). Each branch is a list of
+    Refinements."""
+
+    name: str
+    branches: list  # list[list[Refinement]]
+
+
+@dataclass
 class UniqueKey:
     """Cross-row uniqueness of a key column (reference rules/rules.go:104-137
     UniqueBy semantics: code `uniqueness`, params first/dup/key).
@@ -186,6 +197,7 @@ class TableSchema:
     unknown: str = "strict"  # 'strict' | 'strip' | 'passthrough'  (types.go:4-10)
     passthrough_target: Optional[str] = None
     refinements: list = dc_field(default_factory=list)
+    or_refinements: list = dc_field(default_factory=list)
     unique_keys: list = dc_field(default_factory=list)
     foreign_keys: list = dc_field(default_factory=list)
     discriminator: Optional[Discriminator] = None
@@ -200,6 +212,12 @@ class TableSchema:
         self.refinements.append(
             Refinement(name=name, path=path, violates=violates, code=code, params=params, when=when)
         )
+        self._version += 1
+        return self
+
+    def or_refine(self, name, branches):
+        """branches: list of Refinement lists; see OrRefinement."""
+        self.or_refinements.append(OrRefinement(name=name, branches=branches))
         self._version += 1
         return self
 

@@ -150,3 +150,39 @@ def test_type_mismatch_emits_invalid_type_not_crash(spark):
     c = rows["c"]
     c_issues = {(i["path"], i["code"], i["rule"]) for i in c["_ingest_violations"]}
     assert ("/n_tok", "overflow", "int_fraction") in c_issues
+
+
+def test_presence_include_exclude_and_allow_nan(spark):
+    import pyspark.sql.types as T2
+    sch = S.table(
+        S.field("doc_id", "string", required=True),
+        S.field("score", "double"),
+        S.field("n_tok", "int32", default=0),
+        S.field("source", "string"),
+        unknown="strip",
+    )
+    docs = ['{"doc_id":"a","score":NaN,"source":"web"}',
+            '{"doc_id":"b","score":1.5,"source":"web"}']
+    df = spark.createDataFrame([(d,) for d in docs], T2.StructType(
+        [T2.StructField("payload", T2.StringType(), False)]))
+
+    # AllowNaN=False (default): NaN -> invalid_type under rule allow_nan
+    rows = {r["doc_id"]: r for r in ingest_json(df, sch).collect()}
+    assert rows["a"]["score"] is None
+    assert any(i["rule"] == "allow_nan" for i in rows["a"]["_ingest_violations"])
+    assert rows["b"]["score"] == 1.5
+
+    # AllowNaN=True: NaN passes without an issue (the Arrow bridge stores
+    # it as null in the typed column; the preserving encode keeps NaN)
+    rows = {r["doc_id"]: r for r in
+            ingest_json(df, sch, opts=ParseOpts(allow_nan=True)).collect()}
+    assert not any(i["rule"] == "allow_nan"
+                   for i in rows["a"]["_ingest_violations"])
+    assert "NaN" in rows["a"]["_encoded"]
+
+    # presence Include/Exclude filter the exported map only
+    rows = {r["doc_id"]: r for r in
+            ingest_json(df, sch, opts=ParseOpts(
+                presence_include=["/doc_id", "/score"],
+                presence_exclude=["/score"])).collect()}
+    assert set(rows["b"]["_presence"].keys()) == {"/doc_id"}

@@ -302,3 +302,29 @@ def test_map_full_element_schema(spark):
         ("c", "/labels/x~1y", "pattern"),
         ("d", "/labels/en", "too_short"),
     }
+
+
+def test_or_combinator_min_issue_branch(spark):
+    """Or succeeds when any branch has zero issues; otherwise reports the
+    FIRST branch with the fewest issues (reference rules/rules.go:376-398)."""
+    from goskema_spark.schema import Refinement
+    df = _df(spark, [
+        ("a", 5, "x"),      # branch A ok -> no issues
+        ("b", None, "yes"),  # A fails 1, B ok -> no issues
+        ("c", None, None),  # A fails 1 (v null), B fails 2 -> report A
+    ], T.StructType([T.StructField("id", T.StringType()),
+                     T.StructField("v", T.IntegerType()),
+                     T.StructField("tag", T.StringType())]))
+    branch_a = [Refinement(name="v_set", path="/v", code="required",
+                           violates=lambda: F.col("v").isNull())]
+    branch_b = [Refinement(name="tag_set", path="/tag", code="required",
+                           violates=lambda: F.col("tag").isNull()),
+                Refinement(name="tag_long", path="/tag", code="too_short",
+                           violates=lambda: F.coalesce(F.length("tag"), F.lit(0)) < 3)]
+    sch = S.table(S.field("id", "string", required=True),
+                  S.field("v", "int32"), S.field("tag", "string"))
+    sch.or_refine("v_or_tag", [branch_a, branch_b])
+    _, viols, _ = validate_rows(df, sch, F.col("id"))
+    assert _codes(viols) == {("c", "/v", "required")}
+    rules = {r["rule"] for r in viols.collect()}
+    assert rules == {"v_or_tag:v_set"}
