@@ -2,9 +2,11 @@
 verdicts, stats, drift, ledger rows.
 
 Lifecycle (SURVEY §3.4): scan -> [explicit repartition by
-(source, hash(doc_id))] -> stage 1 vectorized row pass -> stage 2
-aggregates (uniqueness / referential / drift / stats) -> stage 3 verdicts
-+ ledger. Fail-fast vs collect follows reference api.go:147-156.
+(source, hash(doc_id))] -> ONE fused report job whose branch stages run
+concurrently — vectorized row pass, uniqueness aggregate, referential
+anti-join, and a column-pruned per-partition row count — persisted as a
+tiny tagged relation from which the violations table and verdicts are
+cached reads. Fail-fast vs collect follows reference api.go:147-156.
 
 Per-partition verdicts use the *logical* partition (the `source` value by
 default) rather than spark_partition_id(): physical partition ids are not

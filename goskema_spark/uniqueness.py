@@ -79,17 +79,28 @@ def uniqueness_violations(df: DataFrame, key: str, ordinal: str,
     is persisted so the main job reuses it), falling back to the AQE
     path above the cap.
     """
-    dups = duplicate_keys(df, key)
+    # Dup detection shuffles xxhash64(key) — 8 bytes/key instead of the
+    # raw (often long) key strings, roughly halving shuffle volume on a
+    # mostly-unique corpus (the common case: partial aggregation cannot
+    # reduce unique keys, so the full key set crosses the wire). A hash
+    # collision only adds a unique-keyed row to the windowed subset,
+    # where the window over the TRUE key yields first==ordinal and the
+    # row is filtered — correctness is unaffected.
+    kc = F.col(key)
+    dups = (df.filter(kc.isNotNull())
+            .groupBy(F.xxhash64(kc).alias("_kh"))
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .filter(F.col("_cnt") > 1)
+            .select("_kh"))
     if broadcast == "auto":
         dups = dups.persist()
         # limit()+count probe: stops scanning the agg output past the cap
         over = dups.limit(broadcast_threshold_keys + 1).count() > broadcast_threshold_keys
         broadcast = not over
-    dup_keys = dups.select(key)
     if broadcast:
-        dup_keys = F.broadcast(dup_keys)
-    # semi-join the dup-key set; window only over that subset
-    sub = df.join(dup_keys, key, "inner")
+        dups = F.broadcast(dups)
+    # semi-join the dup-hash set; window only over that subset
+    sub = df.join(dups, F.xxhash64(kc) == F.col("_kh"), "inner").drop("_kh")
     w = Window.partitionBy(key).orderBy(F.col(ordinal).asc())
     first = F.min(ordinal).over(w)
     sub = sub.withColumn("_first", first).filter(F.col(ordinal) != F.col("_first"))
