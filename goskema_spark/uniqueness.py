@@ -11,19 +11,22 @@ Scale design (north rule: salted hash-aggregate with skew mitigation):
            single-key shuffle partition across `salt_buckets` reducers.
   stage 2  re-aggregate by key, filter count > 1    -- duplicate keys only,
            a tiny relation at any realistic duplicate rate.
-  stage 3  broadcast-semi-join the dup keys back to the corpus and window
-           ONLY over that subset to recover first/dup ordinals.
+  stage 3  broadcast-semi-join the dup keys back to the corpus; recover
+           first/dup ordinals with a map-side-combinable MIN aggregate
+           over that subset + broadcast join — NOT a window: a window
+           partitioned by key serializes each hot key into one reducer
+           task (a serial tail at any cluster size), while the partial
+           aggregate reduces the hot key on every core first.
 
-The expensive global window (sort-shuffle over 10^12 rows) is avoided
-entirely: the window runs over `rows-with-duplicated-keys` only. At a
-0.1% duplicate rate on 10^12 rows that is 10^9 rows spread over the
-cluster — fine; the common path is two hash aggregates with AQE handling
-residual skew.
+The expensive global sort-shuffle over 10^12 rows is avoided entirely:
+only `rows-with-duplicated-keys` are touched in stage 3. At a 0.1%
+duplicate rate on 10^12 rows that is 10^9 rows spread over the cluster —
+fine; the common path is hash aggregates with AQE handling residual skew.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from goskema_spark.issues import Codes, MSG_DUPLICATE_VALUE, pointer
 from goskema_spark.rowpass import violation
@@ -99,11 +102,20 @@ def uniqueness_violations(df: DataFrame, key: str, ordinal: str,
         broadcast = not over
     if broadcast:
         dups = F.broadcast(dups)
-    # semi-join the dup-hash set; window only over that subset
+    # semi-join the dup-hash set; resolve first-occurrence ordinals with
+    # a map-side-combinable MIN aggregate + broadcast join instead of a
+    # window: a window partitioned by key sorts, and a pathological hot
+    # key (every 'DUP' row) lands in ONE reducer task no matter how many
+    # executors exist — a serial tail that caps scaling. The aggregate
+    # partial-combines the hot key on every core before the (tiny,
+    # dup-keys-sized) shuffle.
     sub = df.join(dups, F.xxhash64(kc) == F.col("_kh"), "inner").drop("_kh")
-    w = Window.partitionBy(key).orderBy(F.col(ordinal).asc())
-    first = F.min(ordinal).over(w)
-    sub = sub.withColumn("_first", first).filter(F.col(ordinal) != F.col("_first"))
+    firsts = (sub.groupBy(kc.alias("_fk"))
+              .agg(F.min(ordinal).alias("_first")))
+    if broadcast:
+        firsts = F.broadcast(firsts)
+    sub = (sub.join(firsts, kc == F.col("_fk"), "inner").drop("_fk")
+           .filter(F.col(ordinal) != F.col("_first")))
     viol = violation(
         pointer(key),
         Codes.UNIQUENESS,

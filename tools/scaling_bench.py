@@ -18,19 +18,23 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(cpus: int, replicate: int, runs: int = 3) -> dict:
+def run_bench(cpus: int, replicate: int, runs: int = 2) -> dict:
     env = dict(os.environ)
     env.update({
         "SPARK_GRAFT_CPUS": str(cpus),
         "GSK_REPLICATE": str(replicate),
         "GSK_BENCH_RUNS": str(runs),
         "GSK_DRIVER_MEM": "40g",
-        "GSK_BENCH_WARM": "0",  # min across interleaved reps is the warm filter
+        # warm=1 is essential: with a cold JVM the FIRST query measured
+        # absorbs all JIT/codegen/session warmup (measured 3x inflation
+        # on the first query at local[2]) and the efficiency ratio is
+        # dominated by warmup, not by the job's scaling behavior
+        "GSK_BENCH_WARM": "1",
         "GSK_QUERIES": os.environ.get("GSK_SCALE_QUERIES", "full_validation,rowpass"),
     })
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=1800, check=True,
+        env=env, capture_output=True, text=True, timeout=3600, check=True,
     )
     line = [ln for ln in out.stdout.splitlines() if ln.strip().startswith("{")][-1]
     return json.loads(line)
@@ -56,8 +60,8 @@ def main():
     # comparison; min across interleaved reps is steal-robust
     small_runs, big_runs = [], []
     for i in range(reps):
-        small_runs.append(run_bench(n, replicate, runs=1))
-        big_runs.append(run_bench(n4, replicate, runs=1))
+        small_runs.append(run_bench(n, replicate, runs=2))
+        big_runs.append(run_bench(n4, replicate, runs=2))
         print(f"rep {i}: {n}->{small_runs[-1]['queries']} "
               f"{n4}->{big_runs[-1]['queries']}", flush=True)
     small = merge_min(small_runs)
