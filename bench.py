@@ -96,12 +96,13 @@ def main():
     # headline: full validation (row pass + uniqueness + referential +
     # per-source verdicts) — the north-rule constraint-eval job
     def q_full():
-        res = validate(load(), schema, row_id_col(), dims={"dim_source": dim})
-        # first write materializes the fused report relation (one job);
-        # the verdicts write is then a cached read
+        # production shape: ONE job materializes the report (violations +
+        # per-partition counts) as parquet — the durable output — and the
+        # violations/verdicts DataFrames are column-pruned reads of it
+        res = validate(load(), schema, row_id_col(), dims={"dim_source": dim},
+                       report_path="/tmp/gsk_bench_report.parquet")
         res.violations.write.format("noop").mode("overwrite").save()
         res.verdicts.write.format("noop").mode("overwrite").save()
-        res.unpersist()
 
     def q_rowpass():
         _, viols, _ = validate_rows(load(), schema, row_id_col())

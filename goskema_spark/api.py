@@ -24,7 +24,7 @@ def is_valid(df: DataFrame, schema: TableSchema, row_id: Optional[Column] = None
     at the job level (reference api.go:147-156)."""
     rid = row_id if row_id is not None else F.monotonically_increasing_id().cast("string")
     if schema.unique_keys or schema.foreign_keys:
-        res = validate(df, schema, rid, dims=dims, cache_violations=False)
+        res = validate(df, schema, rid, dims=dims)
         viols = res.violations
     else:
         _, viols, _ = validate_rows(df, schema, rid)

@@ -44,21 +44,34 @@ LEDGER_SCHEMA = T.StructType([
     T.StructField("finished_at", T.TimestampType(), True),
 ])
 
-_NULL_SRC = "__NULL__"  # ledger / dir-safe key for a NULL partition value
+# Violations land in part_key=<dir> partitions. Real values get a "v_"
+# prefix and NULL gets its own token, so NO real partition value can
+# collide with the NULL slot (a literal "__NULL__" source becomes
+# "v___NULL__"). Spark URL-escapes unsafe chars in partition dir names.
+_NULL_KEY = "__NULL__"
 
 
-def completed_partitions(spark: SparkSession, ledger_path: str, run_id: str) -> set:
-    """Partitions already ledgered under run_id. The existence probe goes
-    through the Spark reader (AnalysisException on a missing path), not
-    the driver's local filesystem, so s3://... / hdfs://... ledger paths
-    resume correctly on a real cluster."""
+def part_key_col(partition_col: str) -> F.Column:
+    return F.when(F.col(partition_col).isNull(), _NULL_KEY).otherwise(
+        F.concat(F.lit("v_"), F.col(partition_col)))
+
+
+def completed_partitions(spark: SparkSession, ledger_path: str, run_id: str):
+    """Partitions already ledgered under run_id -> (values, null_done).
+    NULL membership is tracked out-of-band as a boolean, never as a
+    sentinel string that a real partition value could collide with.
+    The existence probe goes through the Spark reader (AnalysisException
+    on a missing path), not the driver's local filesystem, so s3://... /
+    hdfs://... ledger paths resume correctly on a real cluster."""
     try:
         led = spark.read.parquet(ledger_path)
     except AnalysisException:
-        return set()
+        return set(), False
     led = led.filter(F.col("run_id") == run_id)
-    return {r["source"] if r["source"] is not None else _NULL_SRC
-            for r in led.select("source").distinct().collect()}
+    vals = {r["source"] for r in led.select("source").distinct().collect()}
+    null_done = None in vals
+    vals.discard(None)
+    return vals, null_done
 
 
 def run_with_ledger(
@@ -72,20 +85,28 @@ def run_with_ledger(
     dims: Optional[dict] = None,
     partition_col: str = "source",
     fail_partition_limit: int = 0,
+    report_path: Optional[str] = None,
 ) -> Optional[ValidationResult]:
     """Validate `df`, skipping partitions already completed under this
     run_id. `fail_partition_limit` > 0 stops after writing that many
     partition batches (test hook simulating a mid-run crash).
 
+    report_path: scratch parquet location for the one-job report
+    materialization (defaults to a dir next to the ledger) — the
+    violations write and the ledger rows are then column-pruned reads of
+    one materialized relation instead of two full recomputations of the
+    pipeline.
+
     Returns the ValidationResult for the partitions processed in THIS
     invocation (None if everything was already complete).
     """
     full_df = df  # uniqueness scope: the global table, never the pruned subset
-    done = completed_partitions(spark, ledger_path, run_id)
-    if done:
-        real = [s for s in done if s != _NULL_SRC]
-        cond = ~F.col(partition_col).isin(real) if real else F.lit(True)
-        if _NULL_SRC in done:
+    if report_path is None:
+        report_path = f"{ledger_path.rstrip('/')}__report/run_id={run_id}"
+    done, null_done = completed_partitions(spark, ledger_path, run_id)
+    if done or null_done:
+        cond = ~F.col(partition_col).isin(list(done)) if done else F.lit(True)
+        if null_done:
             cond = cond & F.col(partition_col).isNotNull()
         else:
             cond = cond | F.col(partition_col).isNull()
@@ -107,7 +128,7 @@ def run_with_ledger(
 
     started = F.current_timestamp()
     res = validate(df, schema, row_id, dims=dims, partition_col=partition_col,
-                   uniqueness_scope=full_df)
+                   uniqueness_scope=full_df, report_path=report_path)
 
     if violations_path:
         # Idempotent under crash-resume: violations land in
@@ -118,7 +139,7 @@ def run_with_ledger(
         (res.violations
          .withColumn("run_id", F.lit(run_id))
          .withColumn("params", F.to_json("params"))
-         .withColumn("part_key", F.coalesce(F.col(partition_col), F.lit(_NULL_SRC)))
+         .withColumn("part_key", part_key_col(partition_col))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("run_id", "part_key")
@@ -132,9 +153,16 @@ def run_with_ledger(
         F.array(*[F.when(F.col("violations") > 0, "fail").otherwise("pass")
                   for _ in check_names]),
     )
+    # partition_id: a STABLE dense id over the logical partition value —
+    # spark_partition_id() is physical-plan-dependent noise (the module
+    # protocol explicitly rejects physical ids); the window runs over the
+    # tiny verdicts relation (one row per logical partition).
+    from pyspark.sql import Window
     ledger_rows = res.verdicts.select(
         F.lit(run_id).alias("run_id"),
-        F.spark_partition_id().alias("partition_id"),
+        (F.dense_rank().over(
+            Window.orderBy(F.col(partition_col).asc_nulls_first())) - 1
+         ).cast("int").alias("partition_id"),
         F.col(partition_col).alias("source"),
         F.col("rows").cast("long").alias("rows"),
         F.col("violations").cast("long").alias("violations"),

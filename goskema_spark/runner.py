@@ -4,14 +4,28 @@ verdicts, stats, drift, ledger rows.
 Lifecycle (SURVEY §3.4): scan -> [explicit repartition by
 (source, hash(doc_id))] -> ONE fused report job whose branch stages run
 concurrently — vectorized row pass, uniqueness aggregate, referential
-anti-join, and a column-pruned per-partition row count — persisted as a
-tiny tagged relation from which the violations table and verdicts are
-cached reads. Fail-fast vs collect follows reference api.go:147-156.
+anti-join, and a column-pruned per-partition row count — tagged by `_rec`
+and unioned into a single report relation. Fail-fast vs collect follows
+reference api.go:147-156.
+
+Materialization strategy (the 100 TB design): pass `report_path` to write
+the report ONCE as parquet in a single job; the violations table and the
+verdicts are then cheap column-pruned reads of that file. This replaces a
+`.persist()` of the report: violations are bounded by the violation rate,
+not by a constant — at a 10% rate on 10^12 rows the report is 10^11
+heavyweight struct rows, which no executor cache should hold (measured:
+the persist caused GC stalls that erased all scaling; parquet
+materialization restored it). Without `report_path` the result stays
+fully lazy (each output recomputes its branch when actioned) — right for
+single-output callers like `is_valid`.
 
 Per-partition verdicts use the *logical* partition (the `source` value by
 default) rather than spark_partition_id(): physical partition ids are not
 stable across cluster sizes, and the resume/ledger protocol needs a
-partition identity that survives re-planning.
+partition identity that survives re-planning. Verdicts are ONE hash
+aggregate over the report — `max(_rows)` recovers the row count from the
+'s' record and `count_if(_rec = 'v')` the violation count, with no join
+(NULL partition values group naturally).
 """
 
 from __future__ import annotations
@@ -19,10 +33,10 @@ from __future__ import annotations
 from dataclasses import dataclass, field as dc_field
 from typing import Optional
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from goskema_spark.referential import referential_violations
-from goskema_spark.rowpass import explode_violations, validate_rows
+from goskema_spark.rowpass import validate_rows
 from goskema_spark.schema import TableSchema
 from goskema_spark.uniqueness import uniqueness_violations
 
@@ -36,11 +50,12 @@ class ValidationResult:
     clean: DataFrame              # rows with zero violations (row-pass level)
     verdicts: DataFrame           # partition_col, rows, violations, verdict
     report: dict = dc_field(default_factory=dict)
-    _cached: Optional[DataFrame] = None  # the persisted report relation
+    report_path: Optional[str] = None  # parquet materialization of the report
 
     def unpersist(self):
-        if self._cached is not None:
-            self._cached.unpersist()
+        """Kept for API compatibility; the report is materialized as
+        parquet (scoped to report_path), not cached, so there is nothing
+        to release on the session."""
         return self
 
 
@@ -51,16 +66,13 @@ def validate(
     dims: Optional[dict] = None,
     partition_col: str = "source",
     repartition: int = 0,
-    cache_violations: bool = True,
+    report_path: Optional[str] = None,
     uniqueness_scope: Optional[DataFrame] = None,
 ) -> ValidationResult:
     """Run the full check set declared on `schema` against `df`.
 
-    cache_violations persists the unified report relation (violations +
-    per-partition row counts — tiny relative to the input at any sane
-    violation rate), so the first action materializes everything in ONE
-    Spark job and the violations table / verdicts are cached reads.
-    Call result.unpersist() when done.
+    report_path: parquet location for the one-job report materialization
+    (see module docstring). None = fully lazy result.
 
     uniqueness_scope: uniqueness is a GLOBAL property — when validating a
     subset (checkpoint resume), pass the full table here so duplicate
@@ -113,12 +125,8 @@ def validate(
     # into ONE plan, tagged by `_rec`. Materializing it is ONE Spark job:
     # the branch stages (row pass, uniqueness aggregate, referential
     # anti-join, row count) are independent and get scheduled
-    # concurrently, and the result is tiny (violation-rate-bounded rows +
-    # one row per logical partition), so persisting it makes the
-    # violations table AND the verdicts cached reads instead of separate
-    # full scans. The row-count branch is column-pruned by Catalyst to
-    # the partition column only (no check expressions) — the cheapest
-    # possible way to count rows the verdict stage needs; at 100 TB that
+    # concurrently. The row-count branch is column-pruned by Catalyst to
+    # the partition column only (no check expressions) — at 100 TB that
     # reads one dictionary-encoded column, not the corpus.
     v_rec = (all_viols
              .withColumn("_rec", F.lit("v"))
@@ -138,35 +146,41 @@ def validate(
         F.col("_rows"),
     )
     report = v_rec.unionByName(rows_rec)
-    if cache_violations:
-        report = report.persist()
 
-    violations = report.filter(F.col("_rec") == "v").select(*VIOLATION_COLS, *carry)
-    part_rows = report.filter(F.col("_rec") == "s")
-    if carry:
-        by_part_viol = (report.filter(F.col("_rec") == "v")
-                        .groupBy(F.col(partition_col).alias("_pc"))
-                        .agg(F.count(F.lit(1)).alias("violations")))
-        # null-safe join: a NULL partition value is itself a logical partition
-        verdicts = (
-            part_rows.select(F.col(partition_col), F.col("_rows").alias("rows"))
-            .join(by_part_viol, F.col(partition_col).eqNullSafe(F.col("_pc")), "left")
-            .drop("_pc")
-            .withColumn("violations", F.coalesce(F.col("violations"), F.lit(0)))
-            .withColumn("verdict", F.when(F.col("violations") > 0, "fail").otherwise("pass"))
-        )
+    if report_path:
+        # ONE job writes everything durably; downstream outputs are
+        # column-pruned parquet reads, immune to executor-cache pressure.
+        report.write.mode("overwrite").parquet(report_path)
+        report = df.sparkSession.read.parquet(report_path)
+        violations = (report.filter(F.col("_rec") == "v")
+                      .select(*VIOLATION_COLS, *carry))
     else:
-        verdicts = report.agg(
-            F.sum(F.when(F.col("_rec") == "s", F.col("_rows"))).alias("rows"),
-            F.count(F.when(F.col("_rec") == "v", F.lit(1))).alias("violations"),
-        ).withColumn("verdict", F.when(F.col("violations") > 0, "fail").otherwise("pass"))
+        violations = all_viols
+
+    verdicts = _verdicts_from_report(report, carry, partition_col)
 
     return ValidationResult(
         annotated=ann,
         violations=violations,
         clean=clean,
         verdicts=verdicts,
-        _cached=report if cache_violations else None,
+        report_path=report_path,
+    )
+
+
+def _verdicts_from_report(report: DataFrame, carry, partition_col: str) -> DataFrame:
+    """ONE aggregate, no join: every partition present in df has exactly
+    one 's' record carrying its row count (max() recovers it), and its
+    violation rows all carry the same partition value (NULL included —
+    groupBy keeps a NULL group, so no null-safe join gymnastics)."""
+    viol_cnt = F.count(F.when(F.col("_rec") == "v", F.lit(1))).alias("violations")
+    rows_cnt = F.max(F.when(F.col("_rec") == "s", F.col("_rows"))).alias("rows")
+    if carry:
+        verdicts = report.groupBy(partition_col).agg(rows_cnt, viol_cnt)
+    else:
+        verdicts = report.agg(rows_cnt, viol_cnt)
+    return verdicts.withColumn(
+        "verdict", F.when(F.col("violations") > 0, "fail").otherwise("pass")
     )
 
 
