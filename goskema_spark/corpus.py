@@ -65,7 +65,11 @@ def corpus_schema(max_len: int = MAX_LEN, max_ntok: int = MAX_NTOK,
         params=lambda: {"expected": F.size("tokens"), "got": F.col("n_tok")},
         when=lambda: F.col("n_tok").isNotNull() & F.col("tokens").isNotNull(),
     )
-    sch.unique("doc_id", ordinal="_ord")
+    # broadcast="auto": probe the dup-key count before hinting the
+    # broadcast join — the safe default at unknown duplicate rates (a
+    # boilerplate-heavy corpus can have 10^8+ dup keys, which would blow
+    # the driver if hinted unconditionally)
+    sch.unique("doc_id", ordinal="_ord", broadcast="auto")
     sch.foreign_key("source", "dim_source", "source")
     return sch
 

@@ -222,6 +222,16 @@ def _conform(v, f, path: str, issues: list, allow_nan: bool = False):
         if not isinstance(v, dict):
             _issue(issues, path, Codes.INVALID_TYPE, "type")
             return None
+        declared = {sf.name for sf in dt.fields}
+        # nested unknown-key policy (reference emits unknown_key at
+        # nested paths, dsl/object_core.go:136-169): strict objects flag
+        # every undeclared key; strip/passthrough drop them from the
+        # typed struct (nested passthrough targets are not representable
+        # in a fixed struct column — documented limitation)
+        if dt.unknown == "strict":
+            for k in sorted(k for k in v if k not in declared):
+                _issue(issues, f"{path}/{escape_pointer_token(k)}",
+                       Codes.UNKNOWN_KEY, "unknown_strict")
         return {sf.name: (_conform(v[sf.name], sf,
                                    f"{path}/{escape_pointer_token(sf.name)}",
                                    issues, allow_nan)

@@ -44,6 +44,9 @@ class Codes:
     DEPENDENCY_UNAVAILABLE = "dependency_unavailable"
     # k8s list-type uniqueness (reference kubeopenapi/list.go:29,63)
     DUPLICATE_ITEM = "duplicate_item"
+    # anyOf/oneOf ambiguity (reference kubeopenapi/union_ambiguity.go:61,66)
+    AMBIGUOUS_MATCH = "ambiguous_match"
+    NO_MATCH = "no_match"
 
 
 ALL_CODES = frozenset(

@@ -293,7 +293,9 @@ def _compile_scalar(out: CompiledChecks, f: Field, col: Column, p: str, actual_t
     # a value that exists but cannot cast to the declared type is invalid_type.
     if f.dtype in ("int8", "int16", "int32", "int", "int64", "long") and (
             actual_type in ("double", "float", "string") or actual_type.startswith("decimal")):
-        casted = col.cast("double")
+        # try_cast, not cast: ANSI mode (Spark 4 default) makes a failed
+        # cast THROW; the null-out probe needs NULL-on-failure semantics
+        casted = col.try_cast("double")
         out.add(nn & casted.isNull(), p, Codes.INVALID_TYPE, rule="type")
         if actual_type in ("double", "float") or actual_type.startswith("decimal"):
             # fractional part not allowed (reference dsl/primitives.go:628-631)
@@ -301,7 +303,7 @@ def _compile_scalar(out: CompiledChecks, f: Field, col: Column, p: str, actual_t
                     Codes.OVERFLOW, rule="int_fraction",
                     message="fractional part not allowed", params={"got": col})
     if f.dtype in ("double", "float") and actual_type == "string":
-        out.add(nn & col.cast("double").isNull(), p, Codes.INVALID_TYPE, rule="type")
+        out.add(nn & col.try_cast("double").isNull(), p, Codes.INVALID_TYPE, rule="type")
     if f.dtype == "timestamp" and actual_type == "string":
         out.add(nn & F.try_to_timestamp(col).isNull(), p, Codes.INVALID_FORMAT,
                 rule="format_rfc3339", params={"got": col})
@@ -387,6 +389,10 @@ def _compile_array(out: CompiledChecks, f: Field, col: Column, p, phys_type):
         if spec.elem_max is not None:
             conds.append((t.isNotNull() & (t >= spec.elem_max), Codes.DOMAIN_RANGE, "elem_domain",
                           {"min": spec.elem_min, "max": spec.elem_max, "got": t}))
+        if spec.elem_max_incl is not None:
+            conds.append((t.isNotNull() & (t > spec.elem_max_incl), Codes.DOMAIN_RANGE,
+                          "elem_domain",
+                          {"min": spec.elem_min, "max": spec.elem_max_incl, "got": t}))
         expr = F.lit(None).cast(_VIOL_DDL)
         for cond, code, rule, params in reversed(conds):
             expr = F.when(cond, violation(path, code, rule, params)).otherwise(expr)
@@ -394,7 +400,7 @@ def _compile_array(out: CompiledChecks, f: Field, col: Column, p, phys_type):
 
     has_elem_checks = spec.elem_schema is None and (
         (not spec.elem_nullable) or spec.elem_min is not None
-        or spec.elem_max is not None
+        or spec.elem_max is not None or spec.elem_max_incl is not None
         or (spec.elem in INT_RANGES and actual_type == "array<bigint>"))
     if has_elem_checks:
         # fast path: a cheap short-circuiting exists() gates the expensive
@@ -411,6 +417,8 @@ def _compile_array(out: CompiledChecks, f: Field, col: Column, p, phys_type):
                 cond = cond | (t < spec.elem_min)
             if spec.elem_max is not None:
                 cond = cond | (t >= spec.elem_max)
+            if spec.elem_max_incl is not None:
+                cond = cond | (t > spec.elem_max_incl)
             return cond
 
         arr = F.when(

@@ -51,11 +51,15 @@ class ValidationResult:
     verdicts: DataFrame           # partition_col, rows, violations, verdict
     report: dict = dc_field(default_factory=dict)
     report_path: Optional[str] = None  # parquet materialization of the report
+    _persisted: list = dc_field(default_factory=list)  # probe relations to release
 
     def unpersist(self):
-        """Kept for API compatibility; the report is materialized as
-        parquet (scoped to report_path), not cached, so there is nothing
-        to release on the session."""
+        """Release any probe relations persisted for this run (the
+        broadcast='auto' dup-key probe). The report itself is parquet,
+        never an executor cache."""
+        for df in self._persisted:
+            df.unpersist(blocking=False)
+        self._persisted = []
         return self
 
 
@@ -94,11 +98,13 @@ def validate(
     # aggregate checks read the PLAIN input, not the annotated plan — they
     # never touch _violations, and keeping the giant check expression out
     # of their subtrees cuts driver-side analysis cost ~3x per run
+    persisted: list = []
     for uk in schema.unique_keys:
         ordinal = uk.ordinal or uk.column
         scope = uniqueness_scope if uniqueness_scope is not None else df
         uv = uniqueness_violations(scope, uk.column, ordinal, row_id, carry=carry,
-                                   broadcast=getattr(uk, "broadcast", True))
+                                   broadcast=getattr(uk, "broadcast", True),
+                                   persisted=persisted)
         if uniqueness_scope is not None and carry:
             parts = df.select(F.col(partition_col).alias("_part")).distinct()
             uv = uv.join(F.broadcast(parts),
@@ -154,6 +160,10 @@ def validate(
         report = df.sparkSession.read.parquet(report_path)
         violations = (report.filter(F.col("_rec") == "v")
                       .select(*VIOLATION_COLS, *carry))
+        # the main job has consumed the probe caches — release them now
+        for p in persisted:
+            p.unpersist(blocking=False)
+        persisted = []
     else:
         violations = all_viols
 
@@ -165,6 +175,7 @@ def validate(
         clean=clean,
         verdicts=verdicts,
         report_path=report_path,
+        _persisted=persisted,
     )
 
 

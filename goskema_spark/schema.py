@@ -67,6 +67,10 @@ class ArraySpec:
     max_len: Optional[int] = None
     elem_min: Optional[int] = None  # domain_range lower bound (inclusive)
     elem_max: Optional[int] = None  # domain_range upper bound (exclusive)
+    # INCLUSIVE upper bound — used for non-integer element domains where
+    # the +1 exclusive conversion is invalid (OpenAPI `maximum` on
+    # number items: 10.5 must violate maximum=10)
+    elem_max_incl: Optional[Any] = None
     elem_nullable: bool = False
     contains_pred: Optional[Callable[[Column], Column]] = None
     contains_min: Optional[int] = None
@@ -221,8 +225,9 @@ class TableSchema:
         self._version += 1
         return self
 
-    def unique(self, column, ordinal=None):
-        self.unique_keys.append(UniqueKey(column=column, ordinal=ordinal))
+    def unique(self, column, ordinal=None, broadcast=True):
+        self.unique_keys.append(
+            UniqueKey(column=column, ordinal=ordinal, broadcast=broadcast))
         self._version += 1
         return self
 
@@ -258,7 +263,10 @@ class TableSchema:
 
     def to_json_schema(self) -> dict:
         """Minimal JSON Schema export (reference jsonschema/schema.go:5-23,
-        dsl/object_core.go:289-320, dsl/array.go:182-198)."""
+        dsl/object_core.go:289-320, dsl/array.go:182-198). Discriminated
+        unions export as `oneOf` variant schemas with a const-pinned
+        discriminator (reference dsl/union.go:85-93) so the exported
+        contract keeps per-variant required/type differences."""
         props = {}
         required = []
         for f in self.fields:
@@ -270,6 +278,19 @@ class TableSchema:
             out["required"] = sorted(required)
         if self.unknown == "strict":
             out["additionalProperties"] = False
+        d = self.discriminator
+        if d is not None:
+            one_of = []
+            for tag, var in d.variants.items():
+                if not isinstance(var, TableSchema):
+                    continue  # Refinement-list variants have no JSON form
+                vjs = var.to_json_schema()
+                vjs.pop("additionalProperties", None)  # base policy governs
+                vjs.setdefault("properties", {})[d.column] = {"const": tag}
+                one_of.append(vjs)
+            if one_of:
+                out["discriminator"] = {"propertyName": d.column}
+                out["oneOf"] = one_of
         return out
 
 
@@ -307,6 +328,10 @@ def _field_json_schema(f: Field) -> dict:
         base["minimum"] = f.min
     if f.max is not None:
         base["maximum"] = f.max
+    if f.min_str_len is not None:
+        base["minLength"] = f.min_str_len
+    if f.max_str_len is not None:
+        base["maxLength"] = f.max_str_len
     return base
 
 
@@ -323,7 +348,32 @@ def from_json_schema(js: dict) -> TableSchema:
     for name, spec in js.get("properties", {}).items():
         fields.append(_field_from_json(name, spec, name in required))
     unknown = "strict" if js.get("additionalProperties") is False else "strip"
-    return TableSchema(fields=fields, unknown=unknown)
+    sch = TableSchema(fields=fields, unknown=unknown)
+    # oneOf + const-pinned discriminator round-trips back into a
+    # discriminated union (the exporter's dual, reference dsl/union.go:85-93)
+    one_of = js.get("oneOf")
+    if isinstance(one_of, list) and one_of:
+        disc = (js.get("discriminator") or {}).get("propertyName")
+        if disc is None:
+            # infer: the property const-pinned in every branch
+            cands = None
+            for b in one_of:
+                tags = {k for k, v in (b.get("properties") or {}).items()
+                        if isinstance(v, dict) and "const" in v}
+                cands = tags if cands is None else cands & tags
+            disc = sorted(cands)[0] if cands else None
+        if disc is not None:
+            variants = {}
+            for b in one_of:
+                props = dict(b.get("properties") or {})
+                tag_spec = props.pop(disc, None)
+                if not isinstance(tag_spec, dict) or "const" not in tag_spec:
+                    continue
+                variants[tag_spec["const"]] = from_json_schema(
+                    {**b, "type": "object", "properties": props})
+            if variants:
+                sch.discriminate(disc, variants)
+    return sch
 
 
 _FROM_JSON_TYPES = {"string": "string", "boolean": "bool", "number": "double",
@@ -354,6 +404,8 @@ def _field_from_json(name: str, spec: dict, required: bool) -> Field:
         pattern=spec.get("pattern"),
         min=spec.get("minimum"),
         max=spec.get("maximum"),
+        min_str_len=spec.get("minLength"),
+        max_str_len=spec.get("maxLength"),
     )
 
 

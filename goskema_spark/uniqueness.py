@@ -63,7 +63,8 @@ def duplicate_keys(df: DataFrame, key: str, salt_buckets: int = 0) -> DataFrame:
 def uniqueness_violations(df: DataFrame, key: str, ordinal: str,
                           row_id: Column, carry=(),
                           broadcast=True,
-                          broadcast_threshold_keys: int = 4_000_000) -> DataFrame:
+                          broadcast_threshold_keys: int = 4_000_000,
+                          persisted=None) -> DataFrame:
     """Violation rows for every non-first occurrence of a duplicated key.
 
     `ordinal` must be a stable, deterministic ordering column (e.g. the
@@ -100,6 +101,14 @@ def uniqueness_violations(df: DataFrame, key: str, ordinal: str,
         # limit()+count probe: stops scanning the agg output past the cap
         over = dups.limit(broadcast_threshold_keys + 1).count() > broadcast_threshold_keys
         broadcast = not over
+        if persisted is not None:
+            # caller owns the release (after its main job consumes dups)
+            persisted.append(dups)
+        else:
+            # leak-free default on a long-lived session: drop the cache
+            # now — the plan stays valid, the main job just recomputes
+            # the (column-pruned) dup aggregate
+            dups.unpersist(blocking=False)
     if broadcast:
         dups = F.broadcast(dups)
     # semi-join the dup-hash set; resolve first-occurrence ordinals with

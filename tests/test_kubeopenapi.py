@@ -120,3 +120,160 @@ def test_alertmanager_routes_crd_e2e(spark):
     got = [(r["path"], r["code"]) for r in viols.collect()]
     dups = [p for p, c in got if c == "duplicate_item"]
     assert dups == ["/spec/route/routes/1"], got
+
+
+def test_allof_ref_merge_controller_gen_style(spark):
+    """controller-gen CRDs wrap $refs in allOf (reference resolves these
+    structurally); the import deep-merges the branches so the referenced
+    object schema fully applies."""
+    sch, warns = import_openapi({
+        "type": "object",
+        "$defs": {
+            "Probe": {"type": "object",
+                      "required": ["path"],
+                      "properties": {
+                          "path": {"type": "string", "minLength": 1},
+                          "port": {"type": "integer", "minimum": 1,
+                                   "maximum": 65535}}},
+        },
+        "properties": {
+            "liveness": {"allOf": [{"$ref": "#/$defs/Probe"}],
+                         "properties": {
+                             "port": {"maximum": 1024}}},
+            "budget": {"allOf": [{"type": "integer", "minimum": 0},
+                                 {"maximum": 10}]},
+        },
+    })
+    by = {f.name: f for f in sch.fields}
+    live = by["liveness"].dtype
+    assert isinstance(live, TableSchema)
+    lb = {f.name: f for f in live.fields}
+    assert lb["path"].required and lb["path"].min_str_len == 1
+    # conjunction: tighter maximum (explicit 1024) beats the $ref's 65535
+    assert lb["port"].min == 1 and lb["port"].max == 1024
+    assert by["budget"].dtype == "int64"
+    assert by["budget"].min == 0 and by["budget"].max == 10
+
+    # e2e: the merged nested schema actually validates
+    df = spark.createDataFrame(
+        [("a", ("/x", 80), 5), ("b", (None, 9000), 11)],
+        T.StructType([
+            T.StructField("id", T.StringType()),
+            T.StructField("liveness", T.StructType([
+                T.StructField("path", T.StringType()),
+                T.StructField("port", T.LongType())])),
+            T.StructField("budget", T.LongType())]))
+    sch.unknown = "strip"
+    _, viols, _ = validate_rows(df, sch, F.col("id"))
+    got = {(r["row_id"], r["path"], r["code"]) for r in viols.collect()}
+    assert ("b", "/liveness/path", "required") in got
+    assert ("b", "/liveness/port", "too_big") in got
+    assert ("b", "/budget", "too_big") in got
+    assert not any(r for r in got if r[0] == "a")
+
+
+def test_anyof_ambiguity_error_strategy(spark):
+    """anyOf over a string column: 'error' strategy flags values that
+    fully match more than one branch (ambiguous_match, reference
+    union_ambiguity.go:61) — e.g. '8080' matches integer AND string."""
+    sch, warns = import_openapi({
+        "type": "object",
+        "properties": {
+            "id": {"type": "string"},
+            "target": {"anyOf": [{"type": "integer"},
+                                 {"type": "string"}]},
+        },
+        "required": ["id"],
+    })
+    # adapter = first typed branch (integer -> int64)
+    assert {f.name: f.dtype for f in sch.fields}["target"] == "int64"
+
+    # drive through a string-typed physical column (the CRD wire shape)
+    sch2, _ = import_openapi({
+        "type": "object",
+        "properties": {
+            "id": {"type": "string"},
+            "target": {"anyOf": [{"type": "string"},
+                                 {"type": "integer"}]},
+        },
+        "required": ["id"],
+    })
+    df = spark.createDataFrame(
+        [("a", "8080"), ("b", "http"), ("c", None)],
+        T.StructType([T.StructField("id", T.StringType()),
+                      T.StructField("target", T.StringType())]))
+    sch2.unknown = "strip"
+    _, viols, _ = validate_rows(df, sch2, F.col("id"))
+    got = {(r["row_id"], r["path"], r["code"]) for r in viols.collect()}
+    # '8080' matches both branches -> ambiguous under 'error'
+    assert got == {("a", "/target", "ambiguous_match")}
+
+
+def test_anyof_first_match_strategy(spark):
+    sch, _ = import_openapi({
+        "type": "object",
+        "properties": {
+            "id": {"type": "string"},
+            "port": {"anyOf": [{"type": "integer"},
+                               {"type": "boolean"}]},
+        },
+    }, ambiguity="first_match")
+    df = spark.createDataFrame(
+        [("a", "80"), ("b", "true"), ("c", "zzz")],
+        T.StructType([T.StructField("id", T.StringType()),
+                      T.StructField("port", T.StringType())]))
+    sch.unknown = "strip"
+    # declared adapter is int64 over a string physical column: drop the
+    # schema's own coercion noise by keeping only the anyOf rule rows
+    _, viols, _ = validate_rows(df, sch, F.col("id"))
+    got = {(r["row_id"], r["path"], r["code"]) for r in viols.collect()
+           if r["code"] in ("no_match", "ambiguous_match")}
+    assert got == {("c", "/port", "no_match")}
+
+
+def test_number_items_maximum_inclusive(spark):
+    """ADVICE fix: number items keep the INCLUSIVE OpenAPI maximum —
+    10.5 violates maximum=10 (the old +1 exclusive conversion let any
+    value in (10, 11) pass)."""
+    sch, _ = import_openapi({
+        "type": "object",
+        "properties": {
+            "id": {"type": "string"},
+            "w": {"type": "array",
+                  "items": {"type": "number", "maximum": 10}},
+        },
+    })
+    spec = {f.name: f for f in sch.fields}["w"].dtype
+    assert isinstance(spec, ArraySpec)
+    assert spec.elem_max is None and spec.elem_max_incl == 10
+    df = spark.createDataFrame(
+        [("a", [1.0, 10.0]), ("b", [10.5]), ("c", [11.0])],
+        T.StructType([T.StructField("id", T.StringType()),
+                      T.StructField("w", T.ArrayType(T.DoubleType()))]))
+    sch.unknown = "strip"
+    _, viols, _ = validate_rows(df, sch, F.col("id"))
+    got = {(r["row_id"], r["path"], r["code"]) for r in viols.collect()}
+    assert got == {("b", "/w/0", "domain_range"), ("c", "/w/0", "domain_range")}
+
+
+def test_nested_unknown_key_strict_on_ingest(spark):
+    """ADVICE fix: a nested strict object (CRD additionalProperties:
+    false) emits unknown_key at the nested path on JSON ingest."""
+    sch, _ = import_openapi({
+        "type": "object",
+        "properties": {
+            "id": {"type": "string"},
+            "spec": {"type": "object",
+                     "additionalProperties": False,
+                     "properties": {"name": {"type": "string"}}},
+        },
+        "required": ["id"],
+    })
+    docs = ['{"id":"a","spec":{"name":"x"}}',
+            '{"id":"b","spec":{"name":"y","rogue":1}}']
+    df = spark.createDataFrame([(d,) for d in docs], T.StructType(
+        [T.StructField("payload", T.StringType(), False)]))
+    parsed = ingest_json(df, sch)
+    got = {(r["id"], i["path"], i["code"])
+           for r in parsed.collect() for i in r["_ingest_violations"]}
+    assert got == {("b", "/spec/rogue", "unknown_key")}

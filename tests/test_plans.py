@@ -107,3 +107,54 @@ def test_json_schema_roundtrip(spark):
     assert sch2.to_json_schema() == js
     assert sch2.unknown == "strict"
     assert sch2.get("tokens").dtype.max_len == 64
+
+
+def test_json_schema_oneof_union_roundtrip(spark):
+    """Discriminated unions export as oneOf with a const-pinned
+    discriminator (reference dsl/union.go:85-93, jsonschema/schema.go:22)
+    and round-trip back into a working union: per-variant required/type
+    differences survive export -> from_json_schema -> re-validate."""
+    from pyspark.sql import functions as F, types as T
+
+    from goskema_spark import schema as S
+    from goskema_spark.rowpass import validate_rows
+    from goskema_spark.schema import from_json_schema
+
+    card = S.table(S.field("kind", "string", required=True),
+                   S.field("number", "string"),
+                   S.field("iban", "string"),
+                   unknown="strip")
+    card.discriminate("kind", {
+        "card": S.table(S.field("number", "string", required=True,
+                                pattern=r"^\d{12,19}$"), unknown="strip"),
+        "bank": S.table(S.field("iban", "string", required=True,
+                                min_str_len=15), unknown="strip"),
+    })
+
+    js = card.to_json_schema()
+    assert js["discriminator"] == {"propertyName": "kind"}
+    tags = {b["properties"]["kind"]["const"] for b in js["oneOf"]}
+    assert tags == {"card", "bank"}
+    by_tag = {b["properties"]["kind"]["const"]: b for b in js["oneOf"]}
+    assert by_tag["card"]["required"] == ["number"]
+    assert by_tag["bank"]["properties"]["iban"]["minLength"] == 15
+
+    sch2 = from_json_schema(js)
+    assert sch2.discriminator is not None
+    df = spark.createDataFrame(
+        [("r1", "card", "4111111111111111", None),
+         ("r2", "card", "x", None),
+         ("r3", "bank", None, "DE00123456789012345"),
+         ("r4", "bank", None, "short"),
+         ("r5", "crypto", None, None)],
+        T.StructType([T.StructField("id", T.StringType()),
+                      T.StructField("kind", T.StringType()),
+                      T.StructField("number", T.StringType()),
+                      T.StructField("iban", T.StringType())]))
+    _, viols, _ = validate_rows(df, sch2, F.col("id"))
+    got = {(r["row_id"], r["path"], r["code"]) for r in viols.collect()
+           if r["row_id"] != "r5" or "discriminator" in (r["rule"] or "")}
+    assert ("r2", "/number", "pattern") in got
+    assert ("r4", "/iban", "too_short") in got
+    assert ("r5", "/kind", "discriminator_unknown") in got
+    assert not any(r[0] in ("r1", "r3") for r in got)

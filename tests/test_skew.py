@@ -69,3 +69,42 @@ def test_high_duplicate_rate_fallback(spark):
 
     aqe = uniqueness_violations(df, "doc_id", "_ord", rid, broadcast=False)
     assert aqe.count() == expected
+
+
+def test_auto_probe_leaves_no_cached_relations(spark, tmp_path):
+    """broadcast='auto' persists a dup-key probe relation; the run must
+    release it — directly (leak-free default), after result.unpersist()
+    (lazy validate), and automatically after the report write."""
+    from goskema_spark.corpus import (
+        corpus_from_documents, corpus_schema, dim_source_df, row_id_col,
+    )
+    from goskema_spark.runner import validate
+
+    base = spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    def cached():
+        # relative to the session baseline: other suite tests may hold
+        # their own caches in the shared session
+        return spark.sparkContext._jsc.getPersistentRDDs().size() - base
+
+    corpus = corpus_from_documents(spark, "/root/testdata/sf0.001")
+    dims = {"dim_source": dim_source_df(spark)}
+    assert cached() == 0
+
+    # direct call, no lifecycle list -> released before returning
+    v = uniqueness_violations(corpus, "doc_id", "_ord", row_id_col(),
+                              broadcast="auto")
+    v.count()
+    assert cached() == 0
+
+    # lazy validate -> held for the run, released by unpersist()
+    res = validate(corpus, corpus_schema(), row_id_col(), dims=dims)
+    res.violations.count()
+    res.unpersist()
+    assert cached() == 0
+
+    # report-path validate -> released inside validate()
+    res2 = validate(corpus, corpus_schema(), row_id_col(), dims=dims,
+                    report_path=str(tmp_path / "report"))
+    assert cached() == 0
+    assert res2.violations.count() > 0

@@ -105,3 +105,54 @@ def test_dedup_stream(spark):
         assert n["c"] == n["n"] == ev.count()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_sink_idempotent_under_batch_replay(spark):
+    """foreachBatch is at-least-once: replaying a micro-batch with the
+    same batch_id must REPLACE its violation rows, not append duplicates
+    (dynamic overwrite of the batch_id partition)."""
+    from goskema_spark.runner import validate
+    from goskema_spark.streaming import validate_stream
+
+    tmp = tempfile.mkdtemp()
+    try:
+        corpus = corpus_from_documents(spark, SF)
+        corpus.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in")
+        stream = (spark.readStream.schema(corpus.schema)
+                  .parquet(f"{tmp}/in"))
+        writer = validate_stream(
+            stream, corpus_schema(), row_id_col(),
+            dims={"dim_source": dim_source_df(spark)},
+            violations_sink=f"{tmp}/viols",
+            checkpoint=f"{tmp}/ckpt",
+        )
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(300)
+        first = spark.read.parquet(f"{tmp}/viols").count()
+        assert first > 0
+
+        # simulate the retry: run the SAME data as the same batch_id by
+        # wiping the checkpoint (Spark restarts numbering at 0) — the
+        # sink must hold exactly one copy afterwards
+        shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+        writer2 = validate_stream(
+            spark.readStream.schema(corpus.schema).parquet(f"{tmp}/in"),
+            corpus_schema(), row_id_col(),
+            dims={"dim_source": dim_source_df(spark)},
+            violations_sink=f"{tmp}/viols",
+            checkpoint=f"{tmp}/ckpt",
+        )
+        q2 = writer2.trigger(availableNow=True).start()
+        q2.awaitTermination(300)
+        again = spark.read.parquet(f"{tmp}/viols")
+        assert again.count() == first
+        # and the rows are the row-level reference set, exactly once each
+        ref = validate(corpus, corpus_schema(), row_id_col(),
+                       dims={"dim_source": dim_source_df(spark)})
+        a = sorted((r["row_id"], r["path"], r["code"])
+                   for r in ref.violations.filter(F.col("code") != "uniqueness").collect())
+        b = sorted((r["row_id"], r["path"], r["code"])
+                   for r in again.filter(F.col("code") != "uniqueness").collect())
+        assert a == b
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
