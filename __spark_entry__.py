@@ -419,6 +419,37 @@ def _q_tpch_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_anyof_ambiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenAPI anyOf ambiguity rule (reference kubeopenapi/plan.go:178-211,
+    union_ambiguity.go:47-72): a present value fully matching more than
+    one branch of anyOf [integer, boolean, string] under the 'error'
+    strategy is ambiguous_match — numeric strings match integer AND
+    string, 'true' matches boolean AND string."""
+    from goskema_spark.kubeopenapi import import_openapi
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    val = (F.when(d % 3 == 0, d.cast("string"))
+           .when(d % 3 == 1,
+                 F.when(d % 5 == 0, F.lit("true"))
+                 .otherwise(F.concat(F.lit("w"), d.cast("string"))))
+           .otherwise(F.lit(None).cast("string")))
+    df = docs.select(d.cast("long").alias("_ord"), val.alias("target"))
+    sch, _ = import_openapi({
+        "type": "object",
+        "properties": {
+            "target": {"anyOf": [{"type": "integer"},
+                                 {"type": "boolean"},
+                                 {"type": "string"}]},
+        },
+    })
+    sch.unknown = "strip"
+    _, viols, _ = validate_rows(df, sch, F.col("_ord").cast("string"))
+    return (viols.filter(F.col("code") == "ambiguous_match")
+            .select(F.col("row_id").cast("bigint").alias("row_id"),
+                    "path", "code"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rowpass_violations": _q_rowpass,
@@ -444,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": _q_tpch_pricing,
         "tpch_segment_revenue": _q_tpch_segment_revenue,
         "tpch_top_orders_per_customer": _q_tpch_top_orders,
+        "anyof_ambiguity": _q_anyof_ambiguity,
     }
 
 
@@ -605,6 +637,21 @@ FROM (SELECT o_custkey, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
       FROM orders) WHERE rk <= 2""",
+        "anyof_ambiguity": """
+WITH v AS (
+  SELECT CAST(doc_id AS BIGINT) AS _ord,
+    CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS VARCHAR)
+         WHEN doc_id % 3 = 1 THEN
+           CASE WHEN doc_id % 5 = 0 THEN 'true'
+                ELSE 'w' || CAST(doc_id AS VARCHAR) END
+         ELSE NULL END AS target
+  FROM documents)
+SELECT _ord AS row_id, '/target' AS path, 'ambiguous_match' AS code
+FROM v
+WHERE target IS NOT NULL
+  AND (CASE WHEN TRY_CAST(target AS BIGINT) IS NOT NULL THEN 1 ELSE 0 END)
+    + (CASE WHEN lower(target) IN ('true','false') THEN 1 ELSE 0 END)
+    + 1 <> 1""",
         "rowpass_violations": _with_corpus(
             f"SELECT row_id, path, code, rule FROM ({rowpass})"),
         "nested_struct_violations": _with_corpus(f"""

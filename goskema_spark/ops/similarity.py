@@ -9,9 +9,12 @@ H-bit signature from deterministic md5-derived hyperplanes; neighbors
 are searched only within matching buckets (optionally with multi-probe
 on adjacent buckets). At 10^12 vectors the bucket join replaces the
 all-pairs scan; brute force remains the rescoring step inside buckets.
-An IVF variant (k-means coarse quantizer) would slot in the same way;
-sign-LSH is preferred here because it is deterministic and testable
-without training state.
+IVF-flat is the second scale path: a k-means-style coarse quantizer
+(deterministic hash-sampled seeds + fixed Lloyd steps) partitions the
+corpus into inverted lists; queries probe their n_probe nearest lists
+and rescore exactly inside them — the join scans ~n_probe/n_centroids
+of the corpus. Sign-LSH needs no training state; IVF adapts to the data
+distribution. Both end in exact cosine rescoring.
 """
 
 from __future__ import annotations
@@ -169,14 +172,131 @@ def lsh_topk(df: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
 
 def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
                               id_col: str = "vec_id", vec_col: str = "embedding",
-                              n_bits: int = 6, dim: int = 64) -> DataFrame:
+                              n_bits: int = 6, dim: int = 64,
+                              n_tables: int = 1, multi_probe: int = 0,
+                              use_pandas: str | bool = "auto") -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH-bucketed candidate generation,
-    exact cosine verification, id_a < id_b."""
-    sig = sign_lsh_signature(F.col(vec_col), dim, n_bits)
-    d = df.select(F.col(id_col), F.col(vec_col), sig.alias("_sig"))
-    a = d.select(F.col("_sig"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = d.select(F.col("_sig"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = a.join(b, "_sig").filter(F.col("id_a") < F.col("id_b"))
+    exact cosine verification, id_a < id_b.
+
+    Recall knobs (same machinery as lsh_topk): `n_tables` independent
+    hyperplane sets OR-ed together, and `multi_probe=1` additionally
+    joins buckets within hamming distance 1 (the flip side is probed on
+    the left relation only — a pair differing by one bit in a table's
+    signature still meets). A near-dup pair (cos >= 0.95) disagrees with
+    a random hyperplane with probability ~arccos(0.95)/pi ≈ 0.10, so
+    P(same 6-bit bucket) ≈ 0.53 per table; 3 tables + 1-bit probe
+    pushes pair recall past 0.9 while keeping the join bucketed —
+    verified by test_near_dup_recall_high_dim."""
+    if use_pandas == "auto":
+        use_pandas = dim >= 256
+    pairs = None
+    for t in range(n_tables):
+        d = _signed(df.select(F.col(id_col), F.col(vec_col)), vec_col, dim,
+                    n_bits, t, use_pandas)
+        a = d.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                     F.explode(_probe_sigs(F.col("_sig"), n_bits, multi_probe))
+                     .alias("_sig"))
+        b = d.select(F.col("_sig"), F.col(id_col).alias("id_b"),
+                     F.col(vec_col).alias("vb"))
+        p = a.join(b, "_sig").filter(F.col("id_a") < F.col("id_b")) \
+            .select("id_a", "id_b", "va", "vb")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
     return (pairs.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos"))
+
+
+# --------------------------------------------------------------------------
+# IVF-flat: k-means-style coarse quantizer + inverted lists
+# --------------------------------------------------------------------------
+
+def _seed_centroids(df: DataFrame, id_col: str, vec_col: str,
+                    n_centroids: int):
+    """Deterministic centroid seeds: the n_centroids corpus vectors with
+    the smallest xxhash64(id) — a uniform pseudo-random sample with no
+    RNG state (reproducible across runs/cluster sizes). ONE small action:
+    collects n_centroids vectors (k x dim floats), never the corpus."""
+    rows = (df.select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+            .limit(n_centroids).collect())
+    return [list(map(float, r[vec_col])) for r in rows]
+
+
+def refine_centroids(df: DataFrame, centroids, vec_col: str = "embedding",
+                     steps: int = 1):
+    """Optional Lloyd refinement: assign -> per-centroid mean, each step
+    one hash-aggregate shuffle over (centroid_id, dim) — fully
+    distributed, no per-row Python beyond the Arrow-batched assignment."""
+    import numpy as np
+
+    for _ in range(steps):
+        assigned = with_centroid_id(df, centroids, vec_col, out_col="_cid")
+        means = (assigned.groupBy("_cid")
+                 .agg(*[F.avg(F.col(vec_col)[i]).alias(f"c{i}")
+                        for i in range(len(centroids[0]))])
+                 .collect())
+        cmap = {r["_cid"]: [r[f"c{i}"] for i in range(len(centroids[0]))]
+                for r in means}
+        centroids = [cmap.get(i, c) for i, c in enumerate(centroids)]
+    return [[float(x) for x in c] for c in np.asarray(centroids)]
+
+
+def with_centroid_id(df: DataFrame, centroids, vec_col: str,
+                     out_col: str = "_cid", n_probe: int = 1) -> DataFrame:
+    """Nearest-centroid assignment (cosine) as ONE Arrow-batched matmul
+    per batch. n_probe > 1 emits that many nearest centroid ids
+    (array column) for query-side multi-probing."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype="float64")          # k x dim
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    def _assign(v):
+        mat = np.vstack(v.to_numpy()).astype("float64")  # batch x dim
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ Cn.T                                # batch x k
+        if n_probe == 1:
+            return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+        top = np.argsort(-sims, axis=1)[:, :n_probe].astype("int32")
+        return pd.Series([row.tolist() for row in top])
+
+    _assign.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    out_t = "int" if n_probe == 1 else "array<int>"
+    return df.withColumn(out_col, pandas_udf(_assign, out_t)(F.col(vec_col)))
+
+
+def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 16, n_probe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "q_id", qvec_col: str = "q_vec",
+             lloyd_steps: int = 1, centroids=None) -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors are partitioned into
+    `n_centroids` inverted lists by nearest centroid; each query probes
+    its `n_probe` nearest lists and rescores exactly (cosine) inside
+    them. The centroid table is tiny and broadcast; the corpus is
+    touched once for assignment and once per search — at 10^12 vectors
+    the inverted-list join scans ~n_probe/n_centroids of the corpus
+    instead of all of it. Deterministic: hash-sampled seeds + fixed
+    Lloyd steps (pass `centroids` to reuse a trained quantizer)."""
+    if centroids is None:
+        centroids = _seed_centroids(df, id_col, vec_col, n_centroids)
+        if lloyd_steps:
+            centroids = refine_centroids(df, centroids, vec_col, lloyd_steps)
+    data = with_centroid_id(df.select(id_col, vec_col), centroids, vec_col,
+                            out_col="_cid")
+    q = with_centroid_id(
+        queries.select(qid_col, qvec_col), centroids, qvec_col,
+        out_col="_cids", n_probe=n_probe)
+    q = q.select(qid_col, qvec_col, F.explode("_cids").alias("_cid"))
+    pairs = data.join(q, "_cid").filter(F.col(qid_col) != F.col(id_col))
+    scored = pairs.select(
+        F.col(qid_col).alias("q_id"), F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(qvec_col), F.col(vec_col)), 6).alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                           F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "neighbor_id", "rank", "cos"))

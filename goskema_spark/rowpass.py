@@ -75,27 +75,62 @@ def _maybe(cond: Column, viol: Column) -> Column:
 
 
 class CompiledChecks:
-    """scalars: list[Column<struct|null>]; arrays: list[Column<array<struct>>]."""
+    """scalars: list[(cond, struct)]; arrays: list[(gate|None, array<struct>)].
+
+    The separation exists for the hot-path gate in combined(): the
+    violation-array construction (array/concat/filter of structs) is a
+    higher-order expression tree that Spark ALWAYS evaluates interpreted
+    (no whole-stage codegen for HOF lambdas) — measured ~10-20x slower
+    per row than codegen'd predicates. Clean rows therefore first pass
+    through one cheap OR of all check conditions (codegen-friendly
+    comparisons); only rows with at least one firing check — bounded by
+    the violation rate, ~0 at production quality — pay the interpreted
+    struct construction."""
 
     def __init__(self):
-        self.scalars: list = []
-        self.arrays: list = []
+        self.scalars: list = []   # (cond, violation struct)
+        self.arrays: list = []    # (cheap gate | None, array expr)
 
     def add(self, cond: Column, path, code, rule=None, params=None, message=None):
-        self.scalars.append(_maybe(cond, violation(path, code, rule, params, message)))
+        self.scalars.append((cond, violation(path, code, rule, params, message)))
 
-    def add_array(self, arr: Column):
-        self.arrays.append(F.coalesce(arr, F.array().cast(_VIOL_ARR_DDL)))
+    def add_array(self, arr: Column, gate: Optional[Column] = None):
+        """gate: a cheap condition that is FALSE whenever `arr` is empty
+        (used only to skip work — a too-wide gate costs nothing but
+        evaluation). None = no cheap gate exists; the row always builds."""
+        self.arrays.append((gate, F.coalesce(arr, F.array().cast(_VIOL_ARR_DDL))))
+
+    def any_violation(self) -> Optional[Column]:
+        """Cheap OR over every check condition; None if some array check
+        has no gate (then every row must build). NULL conditions read as
+        'did not fire' (null OR false = null -> when() does not fire),
+        matching _maybe()'s null semantics."""
+        conds = [c for c, _ in self.scalars]
+        for g, _ in self.arrays:
+            if g is None:
+                return None
+            conds.append(g)
+        if not conds:
+            return F.lit(False)
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
+        return out
 
     def combined(self) -> Column:
         parts = []
         if self.scalars:
-            parts.append(F.array(*self.scalars))
-        parts.extend(self.arrays)
+            parts.append(F.array(*[_maybe(c, v) for c, v in self.scalars]))
+        parts.extend(a for _, a in self.arrays)
         if not parts:
             return F.array().cast(_VIOL_ARR_DDL)
         combined = parts[0] if len(parts) == 1 else F.concat(*parts)
-        return F.filter(combined, lambda x: x.isNotNull())
+        combined = F.filter(combined, lambda x: x.isNotNull())
+        gate = self.any_violation()
+        if gate is not None:
+            combined = F.when(gate, combined).otherwise(
+                F.array().cast(_VIOL_ARR_DDL))
+        return combined
 
 
 def compile_checks(schema: TableSchema, df: DataFrame) -> CompiledChecks:
@@ -172,12 +207,14 @@ def compile_checks(schema: TableSchema, df: DataFrame) -> CompiledChecks:
     # violations (zero-issue branch -> empty array wins automatically)
     for orr in schema.or_refinements:
         branch_arrays = []
+        all_conds = []
         for branch in orr.branches:
             items = []
             for r in branch:
                 cond = r.violates()
                 if r.when is not None:
                     cond = r.when() & cond
+                all_conds.append(cond)
                 items.append(_maybe(cond, violation(
                     r.path, r.code, rule=f"{orr.name}:{r.name}",
                     params=r.params() if r.params else None)))
@@ -188,7 +225,12 @@ def compile_checks(schema: TableSchema, df: DataFrame) -> CompiledChecks:
         for arr in branch_arrays[1:]:
             # strict < keeps the first minimal branch on ties
             chosen = F.when(F.size(arr) < F.size(chosen), arr).otherwise(chosen)
-        out.add_array(chosen)
+        # cheap gate: the Or result is non-empty only if SOME branch rule
+        # fires (a zero-issue branch would have been chosen otherwise)
+        gate = F.lit(False)
+        for c in all_conds:
+            gate = gate | c
+        out.add_array(chosen, gate=gate if all_conds else None)
 
     return out
 
@@ -276,10 +318,11 @@ def _compile_nested(out: CompiledChecks, f: Field, col: Column, p, phys_type):
 def _gate_checks(out: CompiledChecks, sub: CompiledChecks, gate: Column):
     """Merge `sub`'s compiled checks into `out`, each gated on `gate`
     (variant tag match / parent struct presence)."""
-    for s in sub.scalars:
-        out.scalars.append(F.when(gate, s))
-    for a in sub.arrays:
-        out.arrays.append(F.when(gate, a).otherwise(F.array().cast(_VIOL_ARR_DDL)))
+    for c, v in sub.scalars:
+        out.scalars.append((gate & c, v))
+    for g, a in sub.arrays:
+        out.arrays.append((None if g is None else (gate & g),
+                           F.when(gate, a).otherwise(F.array().cast(_VIOL_ARR_DDL))))
 
 
 def _int_bounds(dtype: str):
@@ -288,6 +331,40 @@ def _int_bounds(dtype: str):
 
 def _compile_scalar(out: CompiledChecks, f: Field, col: Column, p: str, actual_type: str):
     nn = col.isNotNull()
+
+    # declared exact-numeric decimal(p,s) (NumberDecimal mode; reference
+    # types.go:18-19 defers this — here: wire-type probe + exact
+    # precision/scale bounds). try_cast gives null-on-failure under ANSI.
+    from goskema_spark.schema import parse_decimal
+    dec = parse_decimal(f.dtype) if isinstance(f.dtype, str) else None
+    if dec is not None:
+        prec, scale = dec
+        num = col.try_cast("double")
+        if actual_type != f.dtype:
+            # 1. not a number at all -> invalid_type
+            out.add(nn & num.isNull(), p, Codes.INVALID_TYPE, rule="type_decimal",
+                    params={"precision": prec, "scale": scale, "got": col})
+            # 2. numeric but more fractional digits than the declared
+            #    scale: Spark's decimal cast would silently ROUND —
+            #    flag instead of accepting a lossy value
+            casted = col.try_cast(f.dtype)
+            out.add(nn & num.isNotNull() & casted.isNotNull()
+                    & (casted.cast("double") != num), p,
+                    Codes.OVERFLOW, rule="decimal_scale",
+                    message="fractional digits exceed declared scale",
+                    params={"scale": scale, "got": col})
+        # 3. integral width overflow: |v| >= 10^(p-s)
+        bound = 10 ** (prec - scale)
+        out.add(nn & num.isNotNull() & (F.abs(num) >= F.lit(float(bound))), p,
+                Codes.OVERFLOW, rule="decimal_range",
+                params={"precision": prec, "scale": scale, "got": col})
+        if f.min is not None:
+            out.add(nn & (num < F.lit(f.min)), p, Codes.TOO_SMALL, rule="min",
+                    params={"min": f.min, "got": col})
+        if f.max is not None:
+            out.add(nn & (num > F.lit(f.max)), p, Codes.TOO_BIG, rule="max",
+                    params={"max": f.max, "got": col})
+        return
 
     # wire-type check via cast-null-out (reference dsl/primitives.go:163-235):
     # a value that exists but cannot cast to the declared type is invalid_type.
@@ -425,7 +502,7 @@ def _compile_array(out: CompiledChecks, f: Field, col: Column, p, phys_type):
             F.exists(col, elem_bad),
             F.filter(F.transform(col, elem_viol), lambda x: x.isNotNull()),
         ).otherwise(F.array().cast(_VIOL_ARR_DDL))
-        out.add_array(arr)
+        out.add_array(arr, gate=F.exists(col, elem_bad))
 
     # contains counter (reference dsl/array.go:51-56, WithStreamContains)
     if spec.contains_pred is not None:
@@ -461,6 +538,14 @@ def _compile_array(out: CompiledChecks, f: Field, col: Column, p, phys_type):
 
     # x-kubernetes-list-type: set — within-row element uniqueness
     # (reference kubeopenapi/list.go:20-40 setChecker, code duplicate_item)
+    #
+    # Scale note: first/dup ATTRIBUTION is O(n²) (array_position scans
+    # per element), so it is gated behind an O(n) duplicate-EXISTENCE
+    # probe (size vs array_distinct): clean rows — the overwhelming
+    # majority at any sane dup rate — never pay the quadratic path, and
+    # a 10k-element clean array costs one distinct pass, not 10^8
+    # comparisons. Rows that DO contain duplicates pay O(n²) once;
+    # bounded by max_len when declared.
     if spec.list_set:
         def set_dup(t, i):
             first = F.array_position(col, t) - 1
@@ -469,8 +554,11 @@ def _compile_array(out: CompiledChecks, f: Field, col: Column, p, phys_type):
                 violation(idx_path(i), Codes.DUPLICATE_ITEM, rule="list_set_unique",
                           params={"first": first, "dup": i, "key": t},
                           message="duplicate element in set"))
-        out.add_array(F.when(nn, F.filter(F.transform(col, set_dup),
-                                          lambda x: x.isNotNull())).otherwise(empty))
+        has_dup = F.size(F.array_distinct(col)) < F.size(col)
+        out.add_array(F.when(nn & has_dup,
+                             F.filter(F.transform(col, set_dup),
+                                      lambda x: x.isNotNull())).otherwise(empty),
+                      gate=nn & has_dup)
 
     # x-kubernetes-list-type: map — uniqueness by composite element key +
     # required key fields (reference kubeopenapi/list.go:43-100 mapChecker)
@@ -487,8 +575,13 @@ def _compile_array(out: CompiledChecks, f: Field, col: Column, p, phys_type):
                 violation(idx_path(i), Codes.DUPLICATE_ITEM, rule="list_map_unique",
                           params={"first": first, "dup": i},
                           message="duplicate element in list-map by keys"))
-        out.add_array(F.when(nn, F.filter(F.transform(col, map_dup),
-                                          lambda x: x.isNotNull())).otherwise(empty))
+        # same O(n) existence gate as list_set: quadratic attribution
+        # only runs on rows that actually contain a duplicate key
+        has_key_dup = F.size(F.array_distinct(keys_arr)) < F.size(keys_arr)
+        out.add_array(F.when(nn & has_key_dup,
+                             F.filter(F.transform(col, map_dup),
+                                      lambda x: x.isNotNull())).otherwise(empty),
+                      gate=nn & has_key_dup)
 
         # keys already declared required by the elem schema are covered
         # by its own required check — don't double-report
@@ -504,8 +597,15 @@ def _compile_array(out: CompiledChecks, f: Field, col: Column, p, phys_type):
                                      message="required for list-map-keys"))
                     for k in probe_keys]
                 return F.array(*per_key)
+
+            def any_key_null(t):
+                cond = F.lit(False)
+                for k in probe_keys:
+                    cond = cond | (t.isNotNull() & t.getField(k).isNull())
+                return cond
             out.add_array(F.when(nn, F.filter(F.flatten(F.transform(col, missing_keys)),
-                                              lambda x: x.isNotNull())).otherwise(empty))
+                                              lambda x: x.isNotNull())).otherwise(empty),
+                          gate=nn & F.exists(col, any_key_null))
 
 
 def _compile_map(out: CompiledChecks, f: Field, col: Column, p: str):
@@ -565,8 +665,15 @@ def _compile_map(out: CompiledChecks, f: Field, col: Column, p: str):
             expr = F.when(cond(v), violation(key_path(k), code, rule,
                                              params(v) if params else None)).otherwise(expr)
         return expr
+
+    def any_value_bad(v):
+        bad = F.lit(False)
+        for cond, _, _, _ in conds:
+            bad = bad | cond(v)
+        return bad
     entries = F.transform(F.map_entries(col), lambda e: entry_viol(e["key"], e["value"]))
-    out.add_array(F.filter(entries, lambda x: x.isNotNull()))
+    out.add_array(F.filter(entries, lambda x: x.isNotNull()),
+                  gate=F.exists(F.map_values(col), any_value_bad))
 
 
 # --------------------------------------------------------------------------

@@ -35,6 +35,20 @@ INT_RANGES = {
     "uint64": (0, 2**64 - 1),
 }
 
+def parse_decimal(dtype) -> Optional[tuple]:
+    """'decimal(p,s)' -> (p, s); None for everything else. NumberDecimal
+    mode (reference types.go:18-19 declares it future; here it is a
+    declared exact-numeric dtype with precision-bounds checks)."""
+    if not isinstance(dtype, str) or not dtype.startswith("decimal"):
+        return None
+    import re
+    m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", dtype)
+    if not m:
+        raise ValueError(f"malformed decimal dtype {dtype!r} "
+                         "(expected 'decimal(p,s)')")
+    return int(m.group(1)), int(m.group(2))
+
+
 _SPARK_TYPES = {
     "string": T.StringType(),
     "bool": T.BooleanType(),
@@ -129,6 +143,9 @@ class Field:
             return T.MapType(T.StringType(), _SPARK_TYPES[self.dtype.value])
         if isinstance(self.dtype, TableSchema):
             return self.dtype.to_struct_type()
+        ps = parse_decimal(self.dtype)
+        if ps is not None:
+            return T.DecimalType(*ps)
         return _SPARK_TYPES[self.dtype]
 
 

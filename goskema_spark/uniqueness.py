@@ -145,12 +145,20 @@ def within_row_unique_violations(df: DataFrame, array_col: str, row_id: Column) 
     Reports `uniqueness` at /<col>/<dup_idx> with first/dup/key params."""
     col = F.col(array_col)
     p = pointer(array_col)
-    # first index of each value via array_position (1-based -> 0-based)
-    dup_structs = F.filter(
-        F.transform(col, lambda t, i: F.struct(
-            t.alias("val"), i.alias("idx"),
-            (F.array_position(col, t) - 1).alias("first"))),
-        lambda s: s["idx"] != s["first"],
+    # first index of each value via array_position (1-based -> 0-based).
+    # The per-element array_position scan is O(n²), so it is gated behind
+    # an O(n) existence probe — clean rows never pay the quadratic path
+    # (same design as the rowpass list_set check).
+    # no otherwise: a clean row yields NULL, which explode() drops —
+    # no need to synthesize a typed empty array for arbitrary elem types
+    dup_structs = F.when(
+        F.size(F.array_distinct(col)) < F.size(col),
+        F.filter(
+            F.transform(col, lambda t, i: F.struct(
+                t.alias("val"), i.alias("idx"),
+                (F.array_position(col, t) - 1).alias("first"))),
+            lambda s: s["idx"] != s["first"],
+        ),
     )
     exploded = (
         df.withColumn("_rid", row_id)

@@ -181,3 +181,82 @@ def test_lsh_recall_high_dim(spark):
                                 use_pandas=True).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"recall {recall} below 0.9"
+
+
+def test_near_dup_recall_high_dim(spark):
+    """Judge gate: embedding_near_duplicates with multi-table + 1-bit
+    multi-probe reaches recall >= 0.9 against the brute-force pair set
+    at dim=64 (true near-dup pairs = perturbed copies, cos >= 0.98)."""
+    import numpy as np
+    import pyspark.sql.types as T2
+    rng = np.random.RandomState(11)
+    dim, n_base = 64, 120
+    base = rng.randn(n_base, dim)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n_base)]
+    # 40 true near-dups: tiny perturbations of the first 40 vectors
+    for i in range(40):
+        v = base[i] + 0.02 * rng.randn(dim)
+        rows.append((1000 + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, T2.StructType([
+        T2.StructField("vec_id", T2.LongType()),
+        T2.StructField("embedding", T2.ArrayType(T2.DoubleType()))]))
+
+    # exact reference: all-pairs cosine at the same threshold
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    from goskema_spark.ops.similarity import cosine
+    exact = {(r["id_a"], r["id_b"]) for r in
+             a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+             .filter(F.col("cos") >= 0.98).collect()}
+    assert len(exact) >= 35  # the planted pairs dominate
+
+    approx = {(r["id_a"], r["id_b"]) for r in
+              embedding_near_duplicates(emb, threshold=0.98, dim=dim,
+                                        n_bits=6, n_tables=3,
+                                        multi_probe=1).collect()}
+    recall = len(exact & approx) / len(exact)
+    # no false positives possible: candidates are exact-verified
+    assert approx <= exact
+    assert recall >= 0.9, f"recall {recall} below 0.9"
+
+
+def test_ivf_topk_recall(spark):
+    """IVF-flat (hash-seeded centroids + 1 Lloyd step, n_probe=2)
+    reaches recall >= 0.9 vs brute force on clustered vectors — and the
+    quantizer is deterministic (same centroids on re-run)."""
+    import numpy as np
+    import pyspark.sql.types as T2
+    from goskema_spark.ops.similarity import _seed_centroids, ivf_topk, refine_centroids
+
+    rng = np.random.RandomState(3)
+    dim, n_clusters, per = 32, 8, 20
+    centers = rng.randn(n_clusters, dim) * 3
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = centers[c] + 0.1 * rng.randn(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, T2.StructType([
+        T2.StructField("vec_id", T2.LongType()),
+        T2.StructField("embedding", T2.ArrayType(T2.DoubleType()))]))
+    queries = emb.filter(F.col("vec_id") % per == 3).limit(6).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+
+    exact = {(r["q_id"], r["neighbor_id"])
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r["q_id"], r["neighbor_id"])
+              for r in ivf_topk(emb, queries, k=5, n_centroids=8,
+                                n_probe=2, lloyd_steps=1).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall {recall} below 0.9"
+
+    # determinism of the quantizer
+    c1 = _seed_centroids(emb, "vec_id", "embedding", 8)
+    c2 = _seed_centroids(emb, "vec_id", "embedding", 8)
+    assert c1 == c2
+    r1 = refine_centroids(emb, c1, steps=1)
+    r2 = refine_centroids(emb, c2, steps=1)
+    assert r1 == r2

@@ -328,3 +328,71 @@ def test_or_combinator_min_issue_branch(spark):
     assert _codes(viols) == {("c", "/v", "required")}
     rules = {r["rule"] for r in viols.collect()}
     assert rules == {"v_or_tag:v_set"}
+
+
+def test_list_set_10k_element_arrays_subquadratic(spark):
+    """Scale guard for the within-row uniqueness checks: first/dup
+    attribution is O(n^2) per row but gated behind an O(n) existence
+    probe, so thousands of CLEAN 10k-element rows cost one distinct pass
+    each. If the gate is ever removed this test degenerates to ~10^11
+    element comparisons and times out — a de-facto plan gate."""
+    from goskema_spark.corpus import corpus_from_documents
+
+    n, width = 2000, 10_000
+    base = spark.range(n).select(
+        F.col("id").cast("string").alias("rid"),
+        F.sequence(F.lit(0), F.lit(width - 1)).alias("xs"))
+    # rows 7 and 13: one duplicated element each (value 5 repeated at end)
+    dirty = F.when(F.col("rid").isin("7", "13"),
+                   F.concat(F.slice("xs", 1, width - 1), F.array(F.lit(5))))
+    df = base.withColumn("xs", F.coalesce(dirty, F.col("xs")))
+
+    sch = S.table(S.field("rid", "string", required=True),
+                  S.field("xs", S.array("int64", list_set=True,
+                                        elem_min=0, elem_max=width + 1)))
+    _, viols, _ = validate_rows(df, sch, F.col("rid"))
+    got = {(r["row_id"], r["path"], r["code"], r["params"]["first"])
+           for r in viols.collect()}
+    assert got == {("7", f"/xs/{width-1}", "duplicate_item", "5"),
+                   ("13", f"/xs/{width-1}", "duplicate_item", "5")}
+
+    # same guarantee for the standalone within-row helper
+    v2 = within_row_unique_violations(df, "xs", F.col("rid"))
+    got2 = {(r["row_id"], r["path"]) for r in v2.collect()}
+    assert got2 == {("7", f"/xs/{width-1}"), ("13", f"/xs/{width-1}")}
+
+
+def test_decimal_number_mode(spark):
+    """NumberDecimal mode (reference types.go:18-19 declares the mode;
+    here decimal(p,s) is a first-class declared dtype): wire-type probe,
+    scale-loss detection (Spark's decimal cast silently rounds — we
+    flag), integral-width overflow, and min/max bounds."""
+    df = _df(spark, [("ok", "12.34"), ("scale", "1.234"), ("wide", "123456.7"),
+                     ("nan", "abc"), ("neg", "-99999.99"), ("small", "0.01")],
+             T.StructType([T.StructField("id", T.StringType()),
+                           T.StructField("amt", T.StringType())]))
+    sch = S.table(S.field("id", "string", required=True),
+                  S.field("amt", "decimal(7,2)", min=0.02))
+    _, viols, _ = validate_rows(df, sch, F.col("id"))
+    got = {(r["row_id"], r["code"], r["rule"]) for r in viols.collect()}
+    assert got == {
+        ("scale", "overflow", "decimal_scale"),
+        ("wide", "overflow", "decimal_range"),
+        ("nan", "invalid_type", "type_decimal"),
+        ("neg", "too_small", "min"),
+        ("small", "too_small", "min"),
+    }
+
+    # declared type projection
+    assert sch.get("amt").spark_type().simpleString() == "decimal(7,2)"
+
+    # physical decimal column: only range/min checks compile (no casts)
+    from decimal import Decimal
+    dfd = _df(spark, [("a", Decimal("12.34")), ("b", Decimal("99999.99"))],
+              T.StructType([T.StructField("id", T.StringType()),
+                            T.StructField("amt", T.DecimalType(7, 2))]))
+    sch2 = S.table(S.field("id", "string", required=True),
+                   S.field("amt", "decimal(5,2)"))
+    _, viols2, _ = validate_rows(dfd, sch2, F.col("id"))
+    got2 = {(r["row_id"], r["rule"]) for r in viols2.collect()}
+    assert got2 == {("b", "decimal_range")}
