@@ -523,7 +523,7 @@ def _compile_array(out: CompiledChecks, f: Field, col: Column, p, phys_type):
                 f"field '{p}' declares an array element object schema but the "
                 f"physical type is {actual_type or 'unknown'}")
 
-        def elem_obj_viols(t, i):
+        def elem_checks(t, i):
             ep = idx_path(i)
             sub = CompiledChecks()
             if not spec.elem_nullable:
@@ -531,10 +531,22 @@ def _compile_array(out: CompiledChecks, f: Field, col: Column, p, phys_type):
             inner = CompiledChecks()
             _compile_object(inner, spec.elem_schema, t, ep, elem_type)
             _gate_checks(sub, inner, t.isNotNull())
-            return sub.combined()
+            return sub
 
+        def elem_obj_viols(t, i):
+            return elem_checks(t, i).combined()
+
+        # cheap per-element gate = the element check-set's own OR
+        # condition (None when the nested set itself has an ungated
+        # array check — then every row builds)
+        probe = elem_checks(F.lit(None).cast(elem_type), F.lit(0))
+        if probe.any_violation() is not None:
+            gate = nn & F.exists(
+                col, lambda t: elem_checks(t, F.lit(0)).any_violation())
+        else:
+            gate = None
         out.add_array(F.when(nn, F.flatten(F.transform(col, elem_obj_viols)))
-                      .otherwise(empty))
+                      .otherwise(empty), gate=gate)
 
     # x-kubernetes-list-type: set — within-row element uniqueness
     # (reference kubeopenapi/list.go:20-40 setChecker, code duplicate_item)

@@ -30,7 +30,11 @@ def run_bench(cpus: int, replicate: int, runs: int = 2) -> dict:
         # on the first query at local[2]) and the efficiency ratio is
         # dominated by warmup, not by the job's scaling behavior
         "GSK_BENCH_WARM": "1",
-        "GSK_QUERIES": os.environ.get("GSK_SCALE_QUERIES", "full_validation,rowpass"),
+        # rowpass FIRST: the first query in a session absorbs residual
+        # JIT/codegen warmup beyond its own warm run (measured ~3x on a
+        # cold JVM); running the kernel first leaves the headline query
+        # fully steady-state
+        "GSK_QUERIES": os.environ.get("GSK_SCALE_QUERIES", "rowpass,full_validation"),
     })
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
