@@ -450,6 +450,27 @@ def _q_anyof_ambiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "path", "code"))
 
 
+def _q_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NumberDecimal mode: declared decimal(9,2) over a string wire
+    column — unparseable -> invalid_type, extra fractional digits ->
+    overflow/decimal_scale (the cast would silently round), integral
+    width >= 10^7 -> overflow/decimal_range."""
+    from goskema_spark import schema as S
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    amt = (F.when(d % 4 == 0, F.concat(d.cast("string"), F.lit(".25")))
+           .when(d % 4 == 1, (d * 100000).cast("string"))
+           .when(d % 4 == 2, F.concat(d.cast("string"), F.lit(".125")))
+           .otherwise(F.concat(F.lit("x"), d.cast("string"))))
+    df = docs.select(d.cast("long").alias("_ord"), amt.alias("amt"))
+    sch = S.table(S.field("_ord", "int64"), S.field("amt", "decimal(9,2)"),
+                  unknown="strip")
+    _, viols, _ = validate_rows(df, sch, F.col("_ord").cast("string"))
+    return viols.select(F.col("row_id").cast("bigint").alias("row_id"),
+                        "path", "code", "rule")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rowpass_violations": _q_rowpass,
@@ -476,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_segment_revenue": _q_tpch_segment_revenue,
         "tpch_top_orders_per_customer": _q_tpch_top_orders,
         "anyof_ambiguity": _q_anyof_ambiguity,
+        "decimal_violations": _q_decimal,
     }
 
 
@@ -652,6 +674,26 @@ WHERE target IS NOT NULL
   AND (CASE WHEN TRY_CAST(target AS BIGINT) IS NOT NULL THEN 1 ELSE 0 END)
     + (CASE WHEN lower(target) IN ('true','false') THEN 1 ELSE 0 END)
     + 1 <> 1""",
+        "decimal_violations": """
+WITH v AS (
+  SELECT CAST(doc_id AS BIGINT) AS _ord,
+    CASE WHEN doc_id % 4 = 0 THEN CAST(doc_id AS VARCHAR) || '.25'
+         WHEN doc_id % 4 = 1 THEN CAST(doc_id * 100000 AS VARCHAR)
+         WHEN doc_id % 4 = 2 THEN CAST(doc_id AS VARCHAR) || '.125'
+         ELSE 'x' || CAST(doc_id AS VARCHAR) END AS amt
+  FROM documents),
+n AS (SELECT _ord, amt, TRY_CAST(amt AS DOUBLE) AS num,
+             TRY_CAST(amt AS DECIMAL(9,2)) AS casted FROM v)
+SELECT _ord AS row_id, '/amt' AS path, 'invalid_type' AS code,
+       'type_decimal' AS rule
+FROM n WHERE amt IS NOT NULL AND num IS NULL
+UNION ALL
+SELECT _ord, '/amt', 'overflow', 'decimal_scale'
+FROM n WHERE num IS NOT NULL AND casted IS NOT NULL
+  AND CAST(casted AS DOUBLE) <> num
+UNION ALL
+SELECT _ord, '/amt', 'overflow', 'decimal_range'
+FROM n WHERE num IS NOT NULL AND ABS(num) >= 10000000""",
         "rowpass_violations": _with_corpus(
             f"SELECT row_id, path, code, rule FROM ({rowpass})"),
         "nested_struct_violations": _with_corpus(f"""
