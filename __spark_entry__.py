@@ -471,6 +471,40 @@ def _q_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "path", "code", "rule")
 
 
+def _q_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenAPI contains/minContains/maxContains import (reference
+    kubeopenapi/contains.go:16-127): per-document word structs where
+    `name` is set only for words of length >= 5; the imported contains
+    rule {type: object, required: [name]} counts those matches —
+    too_short below minContains=2, too_long above maxContains=40."""
+    from goskema_spark.kubeopenapi import import_openapi
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    items = F.transform(
+        F.split(F.col("text"), " "),
+        lambda w: F.struct(F.when(F.length(w) >= 5, w).alias("name"),
+                           F.length(w).cast("long").alias("x")))
+    df = docs.select(d.cast("long").alias("_ord"), items.alias("items"))
+    sch, _ = import_openapi({
+        "type": "object",
+        "properties": {
+            "items": {"type": "array",
+                      "items": {"type": "object",
+                                "properties": {"name": {"type": "string"},
+                                               "x": {"type": "integer"}}},
+                      "contains": {"type": "object", "required": ["name"]},
+                      "minContains": 2, "maxContains": 40},
+        },
+    })
+    sch.unknown = "strip"
+    _, viols, _ = validate_rows(df, sch, F.col("_ord").cast("string"))
+    return (viols.filter(F.col("rule").isin("contains_min", "contains_max"))
+            .select(F.col("row_id").cast("bigint").alias("row_id"),
+                    "path", "code",
+                    F.col("params")["got"].cast("int").alias("matched")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rowpass_violations": _q_rowpass,
@@ -498,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_top_orders_per_customer": _q_tpch_top_orders,
         "anyof_ambiguity": _q_anyof_ambiguity,
         "decimal_violations": _q_decimal,
+        "contains_violations": _q_contains,
     }
 
 
@@ -674,6 +709,16 @@ WHERE target IS NOT NULL
   AND (CASE WHEN TRY_CAST(target AS BIGINT) IS NOT NULL THEN 1 ELSE 0 END)
     + (CASE WHEN lower(target) IN ('true','false') THEN 1 ELSE 0 END)
     + 1 <> 1""",
+        "contains_violations": """
+WITH c AS (
+  SELECT CAST(doc_id AS BIGINT) AS row_id,
+         len(list_filter(string_split(text, ' '),
+                         w -> length(w) >= 5)) AS matched
+  FROM documents)
+SELECT row_id, '/items' AS path,
+       CASE WHEN matched < 2 THEN 'too_short' ELSE 'too_long' END AS code,
+       CAST(matched AS INTEGER) AS matched
+FROM c WHERE matched < 2 OR matched > 40""",
         "decimal_violations": """
 WITH v AS (
   SELECT CAST(doc_id AS BIGINT) AS _ord,
@@ -693,7 +738,7 @@ FROM n WHERE num IS NOT NULL AND casted IS NOT NULL
   AND CAST(casted AS DOUBLE) <> num
 UNION ALL
 SELECT _ord, '/amt', 'overflow', 'decimal_range'
-FROM n WHERE num IS NOT NULL AND ABS(num) >= 10000000""",
+FROM n WHERE num IS NOT NULL AND casted IS NULL""",
         "rowpass_violations": _with_corpus(
             f"SELECT row_id, path, code, rule FROM ({rowpass})"),
         "nested_struct_violations": _with_corpus(f"""

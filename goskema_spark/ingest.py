@@ -232,6 +232,14 @@ def _conform(v, f, path: str, issues: list, allow_nan: bool = False):
             for k in sorted(k for k in v if k not in declared):
                 _issue(issues, f"{path}/{escape_pointer_token(k)}",
                        Codes.UNKNOWN_KEY, "unknown_strict")
+        elif dt.unknown == "schema" and dt.ap_field is not None:
+            # additionalProperties-with-schema: overflow values VALIDATE
+            # against the value spec (issues at their path), then drop
+            # from the fixed struct (beyond the reference MVP warn+prune)
+            from dataclasses import replace
+            for k in sorted(k for k in v if k not in declared):
+                _conform(v[k], replace(dt.ap_field, name=k),
+                         f"{path}/{escape_pointer_token(k)}", issues, allow_nan)
         return {sf.name: (_conform(v[sf.name], sf,
                                    f"{path}/{escape_pointer_token(sf.name)}",
                                    issues, allow_nan)
@@ -269,6 +277,12 @@ def parse_document(payload: str, schema: TableSchema, opts: ParseOpts):
                            message_for(Codes.UNKNOWN_KEY), "unknown_strict"))
         elif schema.unknown == "passthrough":
             passthrough[k] = tree[k]
+        elif schema.unknown == "schema" and schema.ap_field is not None:
+            # validate overflow values against additionalProperties'
+            # value spec, then drop (no fixed column to store them)
+            from dataclasses import replace
+            _conform(tree[k], replace(schema.ap_field, name=k),
+                     f"/{escape_pointer_token(k)}", issues, opts.allow_nan)
 
     values = {}
     for f in sorted(schema.fields, key=lambda x: x.name):

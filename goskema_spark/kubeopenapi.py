@@ -15,15 +15,25 @@ Reference parity (semantics, not code):
                                 the row pass via ArraySpec.list_set /
                                 list_map_keys, code duplicate_item)
 
-Supported keywords: type, properties, required, additionalProperties,
+Supported keywords: type, properties, required, additionalProperties
+(false/true/schema — schema overflow values VALIDATE against the value
+spec, beyond the reference MVP warn+prune kubeopenapi.go:157-160),
 items, $ref/#/$defs (and #/definitions), enum, pattern, default,
 minimum/maximum, minLength/maxLength, minItems/maxItems, nullable,
 format (date-time, int32/int64), allOf (deep conjunction merge — the
 controller-gen `allOf: [{$ref}]` wrapper), anyOf/oneOf (first-typed-
-branch adapter + ambiguity rule emitting ambiguous_match/no_match,
-reference kubeopenapi/plan.go:178-211, union_ambiguity.go:13-72),
-x-kubernetes-int-or-string, x-kubernetes-list-type,
-x-kubernetes-list-map-keys, x-kubernetes-preserve-unknown-fields.
+branch adapter + ambiguity rule at ANY nesting depth, emitting
+ambiguous_match/no_match, reference kubeopenapi/plan.go:178-211,
+union_ambiguity.go:13-72), contains/minContains/maxContains
+(reference kubeopenapi/contains.go:16-127, codes too_short/too_long),
+patternProperties + propertyNames.pattern (reference
+kubeopenapi/patterns.go, plan.go:36-155 — key regex enforcement +
+per-pattern value types), x-kubernetes-int-or-string,
+x-kubernetes-list-type, x-kubernetes-list-map-keys,
+x-kubernetes-preserve-unknown-fields, x-kubernetes-embedded-resource
+(presence checks, reference kubeopenapi/embedded.go — enabled by
+default here, where the reference gates them behind
+Options.EnableEmbeddedChecks; pass embedded_checks=False to match).
 """
 
 from __future__ import annotations
@@ -190,15 +200,21 @@ def _unwrap_crd(root: dict) -> Optional[dict]:
 # --------------------------------------------------------------------------
 
 def _unknown_policy(doc: dict, warns: list):
+    """-> (policy, passthrough_target, ap_field). additionalProperties
+    as a SCHEMA on an object that also declares properties validates the
+    overflow keys against the value spec (policy 'schema') — the
+    reference MVP warns and prunes here (kubeopenapi.go:157-160)."""
     if doc.get("x-kubernetes-preserve-unknown-fields") is True:
-        return "passthrough", "_unknown"
+        return "passthrough", "_unknown", None
     ap = doc.get("additionalProperties")
     if ap is False:
-        return "strict", None
+        return "strict", None, None
     if isinstance(ap, dict):
-        warns.append("additionalProperties schema on an object with "
-                     "properties is treated as permissive (strip)")
-    return "strip", None
+        if ap.get("type") in _SCALARS:
+            return "schema", None, _scalar_field("_ap", ap, False, warns)
+        warns.append("additionalProperties schema without a scalar type "
+                     "is treated as permissive (strip)")
+    return "strip", None, None
 
 
 def _scalar_field(name: str, ps: dict, required: bool, warns: list) -> Field:
@@ -226,15 +242,47 @@ def _scalar_field(name: str, ps: dict, required: bool, warns: list) -> Field:
     return f
 
 
-def _array_field(name: str, ps: dict, required: bool, warns: list) -> Field:
+def _contains_predicate(contains: dict, warns: list, name: str):
+    """Columnar containsMatch (reference kubeopenapi/contains.go:141-169):
+    type branches via the castability proxy, object branches honor
+    `required` keys; no recognized constraint -> accept."""
+    from pyspark.sql import functions as F
+
+    from goskema_spark.rowpass import _json_type_match
+
+    t = contains.get("type")
+    req = [str(k) for k in (contains.get("required") or [])] if t == "object" else []
+
+    def pred(el):
+        if t == "object":
+            cond = el.isNotNull()
+            for k in req:
+                cond = cond & el.getField(k).isNotNull()
+            return cond
+        if t:
+            m = _json_type_match(el, t)
+            if m is None:
+                return el.isNotNull()
+            return m
+        return F.lit(True)
+
+    return pred
+
+
+def _array_field(name: str, ps: dict, required: bool, warns: list,
+                 opts: Optional[dict] = None) -> Field:
     items = ps.get("items")
+    opts = opts or {}
     spec = ArraySpec(elem="string", elem_nullable=True,
                      min_len=ps.get("minItems"), max_len=ps.get("maxItems"))
     if isinstance(items, dict):
+        if items.get("x-kubernetes-embedded-resource") is True and \
+                opts.get("embedded", True):
+            spec.embedded_resource = True
         if items.get("x-kubernetes-int-or-string") is True:
             spec.elem = "string"
         elif items.get("type") == "object" or "properties" in items:
-            spec.elem_schema = _import_object(items, warns)
+            spec.elem_schema = _import_object(items, warns, opts=opts)
         else:
             it = items.get("type", "")
             spec.elem = _SCALARS.get(it, "string")
@@ -262,10 +310,78 @@ def _array_field(name: str, ps: dict, required: bool, warns: list) -> Field:
             spec.list_map_keys = [str(k) for k in keys]
         else:
             warns.append(f"list-type map on {name!r} without list-map-keys")
+    # contains/minContains/maxContains -> the engine's streaming contains
+    # counter (reference kubeopenapi/contains.go:16-60 chains a contains
+    # refine; engine primitive: ArraySpec.contains_*, rowpass contains
+    # counter — codes too_short/too_long, matching the reference)
+    contains = ps.get("contains")
+    if isinstance(contains, dict):
+        minc, maxc = ps.get("minContains"), ps.get("maxContains")
+        minc = int(minc) if isinstance(minc, (int, float)) else None
+        maxc = int(maxc) if isinstance(maxc, (int, float)) else None
+        if minc is not None or maxc is not None:
+            spec.contains_pred = _contains_predicate(contains, warns, name)
+            spec.contains_min = minc
+            spec.contains_max = maxc
+        else:
+            # reference: no min/maxContains declared -> refiner enforces
+            # nothing (contains.go:106-121 both bounds -1)
+            warns.append(f"contains on {name!r} without min/maxContains "
+                         "has no effect")
     return Field(name=name, dtype=spec, required=required)
 
 
-def _prop_field(name: str, ps: Any, required: bool, warns: list) -> Field:
+def _property_names_pattern(ps: dict) -> Optional[str]:
+    """propertyNames approximation: pattern only (reference
+    plan.go:36-41)."""
+    pn = ps.get("propertyNames")
+    if isinstance(pn, dict) and isinstance(pn.get("pattern"), str):
+        return pn["pattern"]
+    return None
+
+
+def _pattern_map_field(name: str, ps: dict, required: bool,
+                       warns: list) -> Field:
+    """patternProperties import (reference plan.go:54-155): map-shaped
+    value adapter + key-regex enforcement + per-pattern value types."""
+    ppm = ps["patternProperties"]
+    pats = []
+    types = []
+    for pat, psch in sorted(ppm.items()):
+        t2 = psch.get("type") if isinstance(psch, dict) else None
+        if t2 is not None and t2 not in _SCALARS:
+            warns.append(f"patternProperties on {name!r}: value type "
+                         f"{t2!r} not scorable columnarly; type check "
+                         "skipped for that pattern")
+            t2 = None
+        pats.append((pat, t2))
+        types.append(t2)
+    ap = ps.get("additionalProperties")
+    ap_type = ap.get("type") if isinstance(ap, dict) else None
+    # physical value type: single common scalar type (compatible with the
+    # additionalProperties schema type, when declared), else string
+    # (reference picks MapAny there, plan.go:85-100)
+    uniq = {t for t in types if t is not None}
+    if len(uniq) == 1 and len(uniq) == len(types) and \
+            (ap_type is None or ap_type in uniq):
+        vt = _SCALARS[next(iter(uniq))]
+    else:
+        vt = "string"
+        if len(uniq) > 1:
+            warns.append(f"patternProperties on {name!r} with heterogeneous "
+                         "value schemas treated as map<string,string>")
+    # key enforcement unless additionalProperties permits unmatched keys
+    # (plan.go:103-115)
+    enforce = not (ap is True or isinstance(ap, dict))
+    spec = MapSpec(value=vt, key_patterns=pats, key_enforce=enforce,
+                   ap_type=ap_type if ap_type in _SCALARS else None,
+                   key_name_pattern=_property_names_pattern(ps))
+    return Field(name=name, dtype=spec, required=required)
+
+
+def _prop_field(name: str, ps: Any, required: bool, warns: list,
+                opts: Optional[dict] = None) -> Field:
+    opts = opts or {}
     if not isinstance(ps, dict):
         warns.append(f"property {name!r}: non-object schema treated as string")
         return Field(name=name, dtype="string", required=required)
@@ -274,10 +390,13 @@ def _prop_field(name: str, ps: Any, required: bool, warns: list) -> Field:
                      int_or_string=True)
     t = ps.get("type", "")
     if t == "object" or (t == "" and ("properties" in ps or
-                                      "additionalProperties" in ps)):
+                                      "additionalProperties" in ps or
+                                      "patternProperties" in ps)):
         if isinstance(ps.get("properties"), dict) and ps["properties"]:
-            return Field(name=name, dtype=_import_object(ps, warns),
+            return Field(name=name, dtype=_import_object(ps, warns, opts=opts),
                          required=required)
+        if isinstance(ps.get("patternProperties"), dict) and ps["patternProperties"]:
+            return _pattern_map_field(name, ps, required, warns)
         ap = ps.get("additionalProperties")
         if isinstance(ap, dict):
             vt = _SCALARS.get(ap.get("type", "string"), "string")
@@ -286,13 +405,17 @@ def _prop_field(name: str, ps: Any, required: bool, warns: list) -> Field:
             elem = _scalar_field("value", ap, not ap.get("nullable", False), warns) \
                 if ap.get("type") in _SCALARS else None
             return Field(name=name,
-                         dtype=MapSpec(value=vt, elem_field=elem),
+                         dtype=MapSpec(value=vt, elem_field=elem,
+                                       key_name_pattern=_property_names_pattern(ps)),
                          required=required)
         warns.append(f"object {name!r} without properties treated as "
                      "map<string,string>")
-        return Field(name=name, dtype=MapSpec(value="string"), required=required)
+        return Field(name=name,
+                     dtype=MapSpec(value="string",
+                                   key_name_pattern=_property_names_pattern(ps)),
+                     required=required)
     if t == "array":
-        return _array_field(name, ps, required, warns)
+        return _array_field(name, ps, required, warns, opts=opts)
     return _scalar_field(name, ps, required, warns)
 
 
@@ -324,111 +447,56 @@ def _extract_composition(ps: Any, warns: list, name: str):
     return ps, branches
 
 
-def _branch_indicator(column, branch: dict, field_is_object: bool, warns, name):
-    """Columnar 'value fully matches this branch' predicate
-    (reference union_ambiguity.go:13-46: type branches via wire type,
-    object branches via required keys, else accept). Columnar twist: the
-    physical column has ONE type, so type-match means 'losslessly
-    castable' — e.g. anyOf[integer,string] over a string column matches
-    integer iff try_cast(bigint) succeeds, and string always."""
-    from pyspark.sql import functions as F
-
-    t = branch.get("type")
-    if t and not field_is_object:
-        s = column.cast("string")
-        if t == "integer":
-            return s.try_cast("bigint").isNotNull()
-        if t == "number":
-            return s.try_cast("double").isNotNull()
-        if t == "boolean":
-            return F.lower(s).isin("true", "false")
-        if t == "string":
-            return s.isNotNull()
-        warns.append(f"anyOf on {name!r}: branch type {t!r} not scorable; "
-                     "treated as always-matching")
-        return F.lit(True)
-    req = branch.get("required")
-    if field_is_object and isinstance(req, list) and req:
-        cond = F.lit(True)
-        for k in req:
-            cond = cond & column.getField(str(k)).isNotNull()
-        return cond
-    # reference fallback checker accepts (union_ambiguity.go:44-46)
-    return F.lit(True)
-
-
-def _attach_anyof_refine(sch: TableSchema, name: str, branches: list,
-                         ambiguity: str, warns: list) -> None:
-    """Ambiguity rule over the branch match count (reference
-    union_ambiguity.go:47-72): 'error' -> matched != 1 is ambiguous_match;
-    'first_match' -> matched == 0 is no_match."""
-    from pyspark.sql import functions as F
-
-    from goskema_spark.issues import Codes
-
-    field_is_object = isinstance(sch.get(name).dtype, TableSchema)
-    known = [b for b in branches
-             if (b.get("type") and not field_is_object)
-             or (field_is_object and b.get("required"))]
-    if not known:
-        return
-
-    def matched():
-        inds = [_branch_indicator(F.col(name), b, field_is_object, warns, name)
-                for b in branches]
-        m = F.lit(0)
-        for ind in inds:
-            m = m + ind.cast("int")
-        return m
-
-    if ambiguity == "first_match":
-        sch.refine(
-            f"anyof_{name}",
-            violates=lambda: matched() == 0,
-            path=f"/{name}", code=Codes.NO_MATCH,
-            params=lambda: {"matched": matched()},
-            when=lambda: F.col(name).isNotNull(),
-        )
-    else:  # 'error' (reference default AmbiguityError)
-        sch.refine(
-            f"anyof_{name}",
-            violates=lambda: matched() != 1,
-            path=f"/{name}", code=Codes.AMBIGUOUS_MATCH,
-            params=lambda: {"matched": matched()},
-            when=lambda: F.col(name).isNotNull(),
-        )
-
-
-def _import_object(doc: dict, warns: list, ambiguity: str = "error",
-                   top: bool = False) -> TableSchema:
-    unknown, target = _unknown_policy(doc, warns)
+def _import_object(doc: dict, warns: list,
+                   opts: Optional[dict] = None) -> TableSchema:
+    opts = opts or {}
+    ambiguity = opts.get("ambiguity", "error")
+    unknown, target, ap_field = _unknown_policy(doc, warns)
     required = {r for r in doc.get("required", []) if isinstance(r, str)}
     fields = []
-    compositions = []
     for name, ps in sorted((doc.get("properties") or {}).items()):
         ps, branches = _extract_composition(ps, warns, name)
-        fields.append(_prop_field(name, ps, name in required, warns))
+        fld = _prop_field(name, ps, name in required, warns, opts=opts)
+        if isinstance(ps, dict) and ps.get("x-kubernetes-embedded-resource") \
+                is True and opts.get("embedded", True) \
+                and not isinstance(fld.dtype, ArraySpec):
+            fld.embedded_resource = True
         if branches:
-            compositions.append((name, branches))
-    sch = TableSchema(fields=fields, unknown=unknown,
-                      passthrough_target=target)
-    for name, branches in compositions:
-        if top:
-            _attach_anyof_refine(sch, name, branches, ambiguity, warns)
-        else:
-            # nested refinements are not compiled by the row pass;
-            # the first-typed-branch adapter still applies
-            warns.append(f"anyOf/oneOf on nested property {name!r}: "
-                         "imported via first typed branch, ambiguity "
-                         "rule attached at top level only")
-    return sch
+            # ambiguity rule stamped on the FIELD, compiled by the row
+            # pass at any nesting depth (reference kubeopenapi/plan.go:
+            # 178-211 builds the refiner per property)
+            field_is_object = isinstance(fld.dtype, TableSchema)
+            known = [b for b in branches
+                     if (b.get("type") and not field_is_object)
+                     or (field_is_object and b.get("required"))]
+            if known:
+                fld.anyof_branches = branches
+                fld.anyof_ambiguity = ambiguity
+                if ambiguity == "error":
+                    # documented columnar divergence (union_ambiguity.go
+                    # valueMatchesType checks the WIRE type; a physical
+                    # column has one type, so branch match = lossless
+                    # castability): '123' under anyOf[integer,string]
+                    # is matched=2 (ambiguous) here, matched=1 in the
+                    # reference. Surfaced per ADVICE r3.
+                    warns.append(
+                        f"anyOf/oneOf on {name!r} under strategy 'error': "
+                        "branch match uses lossless castability, not the "
+                        "raw wire type — numeric strings match both an "
+                        "integer and a string branch (divergence from "
+                        "reference valueMatchesType; use ingest-time "
+                        "wire-type bits for exact parity)")
+        fields.append(fld)
+    return TableSchema(fields=fields, unknown=unknown, ap_field=ap_field,
+                       passthrough_target=target)
 
 
 # --------------------------------------------------------------------------
 # public API
 # --------------------------------------------------------------------------
 
-def import_openapi(doc, ambiguity: str = "error") -> tuple:
+def import_openapi(doc, ambiguity: str = "error",
+                   embedded_checks: bool = True) -> tuple:
     """Import an OpenAPI v3 (structural) schema or full CRD document into
     a TableSchema. Accepts a dict, or JSON str/bytes.
 
@@ -437,12 +505,19 @@ def import_openapi(doc, ambiguity: str = "error") -> tuple:
     ambiguous_match when a present value matches != 1 branch;
     'first_match' flags no_match only when no branch matches.
 
+    embedded_checks: wire x-kubernetes-embedded-resource presence checks
+    (reference kubeopenapi/embedded.go; the reference DEFAULTS these off
+    behind Options.EnableEmbeddedChecks — on here, False to match).
+
     Returns (schema, warnings)."""
     if isinstance(doc, (bytes, str)):
         doc = json.loads(doc)
     if not isinstance(doc, dict):
         raise ValueError("kubeopenapi: schema document must be an object")
-    root = doc
+    # deepcopy: allOf normalization deep-merges in place, and the nested
+    # dicts are shared with the caller's document — importing must never
+    # mutate the caller's schema object (ADVICE r3)
+    root = copy.deepcopy(doc)
     if isinstance(root.get("openAPIV3Schema"), dict):
         root = root["openAPIV3Schema"]
     else:
@@ -457,11 +532,13 @@ def import_openapi(doc, ambiguity: str = "error") -> tuple:
     if defs:
         root = _resolve_refs(root, defs, warns)
     root = _normalize_allof(root, warns)
-    return _import_object(root, warns, ambiguity=ambiguity, top=True), warns
+    opts = {"ambiguity": ambiguity, "embedded": embedded_checks}
+    return _import_object(root, warns, opts=opts), warns
 
 
 def import_crd_yaml(text, kind: Optional[str] = None,
-                    ambiguity: str = "error") -> tuple:
+                    ambiguity: str = "error",
+                    embedded_checks: bool = True) -> tuple:
     """Import a (possibly multi-document) CRD YAML bundle; `kind` selects
     the CRD whose spec.names.kind matches (reference ImportYAMLForCRDKind,
     kubeopenapi/yaml.go). Returns (schema, warnings)."""
@@ -476,4 +553,5 @@ def import_crd_yaml(text, kind: Optional[str] = None,
                 if (((d.get("spec") or {}).get("names") or {}).get("kind")) == kind]
     if not crds:
         raise ValueError(f"no CustomResourceDefinition for kind={kind!r} found")
-    return import_openapi(crds[0], ambiguity=ambiguity)
+    return import_openapi(crds[0], ambiguity=ambiguity,
+                          embedded_checks=embedded_checks)

@@ -6,6 +6,9 @@ follows FIXTURES.md F4:
 
   ledger row: run_id, partition_id, source, rows, violations, verdict,
               checks map<string,string>, started_at, finished_at
+  (partition_id = xxhash64 of the partition key — deterministic from the
+  source VALUE, so it is identical across batches, resumes, and cluster
+  sizes; ledger identity remains the source column itself)
 
 Protocol:
   - logical partitions = distinct values of the partition column
@@ -34,7 +37,7 @@ from goskema_spark.runner import ValidationResult, validate
 
 LEDGER_SCHEMA = T.StructType([
     T.StructField("run_id", T.StringType(), False),
-    T.StructField("partition_id", T.IntegerType(), True),
+    T.StructField("partition_id", T.LongType(), True),
     T.StructField("source", T.StringType(), True),
     T.StructField("rows", T.LongType(), True),
     T.StructField("violations", T.LongType(), True),
@@ -153,16 +156,18 @@ def run_with_ledger(
         F.array(*[F.when(F.col("violations") > 0, "fail").otherwise("pass")
                   for _ in check_names]),
     )
-    # partition_id: a STABLE dense id over the logical partition value —
-    # spark_partition_id() is physical-plan-dependent noise (the module
-    # protocol explicitly rejects physical ids); the window runs over the
-    # tiny verdicts relation (one row per logical partition).
-    from pyspark.sql import Window
+    # partition_id: STABLE across batches and crash-resumes — derived
+    # deterministically from the partition VALUE (xxhash64), not from a
+    # dense_rank over this invocation's verdicts: a rank restarts at 0 on
+    # every resume, so under one run_id the same source could get
+    # different ids across batches and two sources could share an id
+    # (ADVICE r3). spark_partition_id() stays rejected for the same
+    # reason (physical-plan-dependent noise). NULL partitions hash the
+    # out-of-band sentinel, collision-free with any real 'v_'-prefixed
+    # key (see part_key_col).
     ledger_rows = res.verdicts.select(
         F.lit(run_id).alias("run_id"),
-        (F.dense_rank().over(
-            Window.orderBy(F.col(partition_col).asc_nulls_first())) - 1
-         ).cast("int").alias("partition_id"),
+        F.xxhash64(part_key_col(partition_col)).alias("partition_id"),
         F.col(partition_col).alias("source"),
         F.col("rows").cast("long").alias("rows"),
         F.col("violations").cast("long").alias("violations"),

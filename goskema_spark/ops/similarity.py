@@ -150,18 +150,31 @@ def lsh_topk(df: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
         use_pandas = dim >= 256
     cands = None
     for t in range(n_tables):
-        data = _signed(df, vec_col, dim, n_bits, t, use_pandas)
+        data = _signed(df.select(F.col(id_col), F.col(vec_col)), vec_col,
+                       dim, n_bits, t, use_pandas)
         q = _signed(queries, qvec_col, dim, n_bits, t, use_pandas)
-        q = q.select(qid_col, qvec_col,
+        q = q.select(qid_col,
                      F.explode(_probe_sigs(F.col("_sig"), n_bits, multi_probe))
                      .alias("_sig"))
         pairs = data.join(q, "_sig").select(
-            F.col(qid_col).alias("q_id"), F.col(qvec_col).alias("_qv"),
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
+            F.col(qid_col).alias("q_id"), F.col(id_col).alias("neighbor_id"))
         cands = pairs if cands is None else cands.unionByName(pairs)
+    # dedup on ID PAIRS ONLY (16 bytes/pair through the exchange), then
+    # re-join the vectors for rescoring: carrying dim-sized arrays through
+    # the dropDuplicates shuffle is ~8 KB/candidate at dim=1024 and
+    # dominates once candidates >> corpus (multi-table x multi-probe).
+    # The query set is small by contract (same broadcast as
+    # brute_force_topk); the deduped candidate ids are |Q| x bucket-sized,
+    # so both rescore joins broadcast — the corpus is never shuffled.
     cands = cands.filter(F.col("q_id") != F.col("neighbor_id")) \
         .dropDuplicates(["q_id", "neighbor_id"])
-    scored = cands.select(
+    qv = queries.select(F.col(qid_col).alias("q_id"),
+                        F.col(qvec_col).alias("_qv"))
+    rescore = df.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).alias("_nv")) \
+        .join(F.broadcast(cands), "neighbor_id") \
+        .join(F.broadcast(qv), "q_id")
+    scored = rescore.select(
         "q_id", "neighbor_id",
         F.round(cosine(F.col("_qv"), F.col("_nv")), 6).alias("cos"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
@@ -193,15 +206,23 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
     for t in range(n_tables):
         d = _signed(df.select(F.col(id_col), F.col(vec_col)), vec_col, dim,
                     n_bits, t, use_pandas)
-        a = d.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        a = d.select(F.col(id_col).alias("id_a"),
                      F.explode(_probe_sigs(F.col("_sig"), n_bits, multi_probe))
                      .alias("_sig"))
-        b = d.select(F.col("_sig"), F.col(id_col).alias("id_b"),
-                     F.col(vec_col).alias("vb"))
+        b = d.select(F.col("_sig"), F.col(id_col).alias("id_b"))
         p = a.join(b, "_sig").filter(F.col("id_a") < F.col("id_b")) \
-            .select("id_a", "id_b", "va", "vb")
+            .select("id_a", "id_b")
         pairs = p if pairs is None else pairs.unionByName(p)
+    # dedup carries ID PAIRS ONLY (16 bytes/pair vs ~2 x dim-sized arrays
+    # — ~8 KB/pair at dim=1024); vectors re-join AFTER the dedup, so the
+    # corpus ships each vector once per join side instead of once per
+    # candidate occurrence (multi-table x multi-probe re-finds the same
+    # pair in several buckets). Corpus-x-corpus candidates can exceed any
+    # broadcast bound, so these joins stay AQE-planned, not hinted.
     pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = pairs.join(va, "id_a").join(vb, "id_b")
     return (pairs.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos"))

@@ -117,7 +117,10 @@ class CompiledChecks:
             out = out | c
         return out
 
-    def combined(self) -> Column:
+    def body(self) -> Column:
+        """The UNGATED violations-array construction (interpreted HOF
+        territory) — callers that want the clean-row fast path pair this
+        with any_violation() in a separate projection (with_violations)."""
         parts = []
         if self.scalars:
             parts.append(F.array(*[_maybe(c, v) for c, v in self.scalars]))
@@ -125,7 +128,10 @@ class CompiledChecks:
         if not parts:
             return F.array().cast(_VIOL_ARR_DDL)
         combined = parts[0] if len(parts) == 1 else F.concat(*parts)
-        combined = F.filter(combined, lambda x: x.isNotNull())
+        return F.filter(combined, lambda x: x.isNotNull())
+
+    def combined(self) -> Column:
+        combined = self.body()
         gate = self.any_violation()
         if gate is not None:
             combined = F.when(gate, combined).otherwise(
@@ -145,6 +151,14 @@ def compile_checks(schema: TableSchema, df: DataFrame) -> CompiledChecks:
     if schema.unknown == "strict":
         for c in unknown:
             out.add(F.lit(True), pointer(c), Codes.UNKNOWN_KEY, rule="unknown_strict")
+    elif schema.unknown == "schema" and schema.ap_field is not None:
+        # additionalProperties-with-schema: overflow columns validate
+        # against the declared value spec instead of being stripped
+        # (beyond the reference MVP warn+prune, kubeopenapi.go:157-160)
+        from dataclasses import replace
+        for c in unknown:
+            _compile_field(out, replace(schema.ap_field, name=c), F.col(c),
+                           pointer(c), phys.get(c))
 
     for f in sorted(schema.fields, key=lambda x: x.name):
         present = f.name in df.columns
@@ -266,6 +280,17 @@ def _compile_field(out: CompiledChecks, f: Field, col: Column, p, phys_type):
     else:
         _compile_scalar(out, f, col, p, _type_str(phys_type))
 
+    # anyOf/oneOf ambiguity rule — attached per field at ANY depth
+    # (nested fields arrive here via _compile_object with rebased paths)
+    if f.anyof_branches:
+        _compile_anyof(out, f, col, p)
+
+    # x-kubernetes-embedded-resource presence checks on the field itself
+    # (array items carry the flag on ArraySpec, handled in _compile_array)
+    if f.embedded_resource and not isinstance(f.dtype, ArraySpec):
+        for cond, pk, code, msg in _embedded_conds(col, p, phys_type):
+            out.add(cond, pk, code, rule="embedded_resource", message=msg)
+
 
 def _compile_object(sub: CompiledChecks, sub_schema: TableSchema, col: Column,
                     p, phys_struct) -> None:
@@ -279,6 +304,13 @@ def _compile_object(sub: CompiledChecks, sub_schema: TableSchema, col: Column,
             if not name.startswith("_"):
                 sub.add(F.lit(True), _pjoin(p, pointer(name)), Codes.UNKNOWN_KEY,
                         rule="unknown_strict")
+    elif sub_schema.unknown == "schema" and sub_schema.ap_field is not None:
+        from dataclasses import replace
+        for name in sorted(set(child_types) - declared):
+            if not name.startswith("_"):
+                _compile_field(sub, replace(sub_schema.ap_field, name=name),
+                               col.getField(name), _pjoin(p, pointer(name)),
+                               child_types[name])
     for cf in sorted(sub_schema.fields, key=lambda x: x.name):
         cp = _pjoin(p, pointer(cf.name))
         if cf.name not in child_types:
@@ -329,6 +361,103 @@ def _int_bounds(dtype: str):
     return INT_RANGES.get(dtype)
 
 
+def _json_type_match(col: Column, t: str) -> Optional[Column]:
+    """Columnar 'value is of JSON type t' (reference
+    union_ambiguity.go:76-107 valueMatchesType). Columnar divergence,
+    documented: the physical column has ONE type, so type-match means
+    'losslessly castable' — a numeric string matches both integer and
+    string. None = not scorable columnarly (caller warns/skips)."""
+    s = col.cast("string")
+    if t == "integer":
+        return s.try_cast("bigint").isNotNull()
+    if t == "number":
+        return s.try_cast("double").isNotNull()
+    if t == "boolean":
+        return F.lower(s).isin("true", "false")
+    if t == "string":
+        return col.isNotNull()
+    return None
+
+
+def _anyof_indicator(col: Column, branch: dict, field_is_object: bool) -> Column:
+    """'value fully matches this branch' predicate (reference
+    union_ambiguity.go:13-46: type branches via wire type, object
+    branches via required keys, else accept)."""
+    t = branch.get("type")
+    if t and not field_is_object:
+        m = _json_type_match(col, t)
+        return m if m is not None else F.lit(True)
+    req = branch.get("required")
+    if field_is_object and isinstance(req, list) and req:
+        cond = F.lit(True)
+        for k in req:
+            cond = cond & col.getField(str(k)).isNotNull()
+        return cond
+    return F.lit(True)  # fallback checker accepts (union_ambiguity.go:44-46)
+
+
+def _compile_anyof(out: CompiledChecks, f: Field, col: Column, p) -> None:
+    """anyOf/oneOf ambiguity rule at any nesting depth (reference
+    kubeopenapi/plan.go:178-211 builds the refiner per property;
+    union_ambiguity.go:47-72): 'error' -> matched != 1 is
+    ambiguous_match; 'first_match' -> matched == 0 is no_match."""
+    branches = f.anyof_branches or []
+    field_is_object = isinstance(f.dtype, TableSchema)
+    known = [b for b in branches
+             if (b.get("type") and not field_is_object)
+             or (field_is_object and b.get("required"))]
+    if not known:
+        return
+    m = F.lit(0)
+    for b in branches:
+        m = m + _anyof_indicator(col, b, field_is_object).cast("int")
+    if f.anyof_ambiguity == "first_match":
+        out.add(col.isNotNull() & (m == 0), p, Codes.NO_MATCH,
+                rule=f"anyof_{f.name}", params={"matched": m})
+    else:  # 'error' (reference default AmbiguityError)
+        out.add(col.isNotNull() & (m != 1), p, Codes.AMBIGUOUS_MATCH,
+                rule=f"anyof_{f.name}", params={"matched": m})
+
+
+def _embedded_conds(el: Column, ep, phys_type) -> list:
+    """x-kubernetes-embedded-resource presence checks for ONE embedded
+    object (reference kubeopenapi/embedded.go:19-75): apiVersion/kind
+    required strings, metadata required object. Returns
+    [(cond, path, code, message)]; type-ness of the sub-values is judged
+    from the PHYSICAL type (columnar analog of the reference's per-value
+    type switch — a homogeneous map<string,string> column can carry the
+    presence checks but not metadata's object-ness)."""
+    from pyspark.sql import types as T
+
+    conds = []
+    nn = el.isNotNull()
+    if isinstance(phys_type, T.StructType):
+        names = {sf.name: sf.dataType for sf in phys_type.fields}
+        for k, want in (("apiVersion", "string"), ("kind", "string"),
+                        ("metadata", "object")):
+            pk = _pjoin(ep, "/" + k)
+            if k not in names:
+                conds.append((nn, pk, Codes.REQUIRED,
+                              "required for embedded resource"))
+                continue
+            sub = el.getField(k)
+            conds.append((nn & sub.isNull(), pk, Codes.REQUIRED,
+                          "required for embedded resource"))
+            ok_type = (isinstance(names[k], T.StringType) if want == "string"
+                       else isinstance(names[k], (T.StructType, T.MapType)))
+            if not ok_type:
+                conds.append((nn & sub.isNotNull(), pk, Codes.INVALID_TYPE,
+                              f"{k} must be {want}"))
+    elif isinstance(phys_type, T.MapType):
+        # presence-only on homogeneous maps; scalar map values cannot
+        # carry metadata's object-ness (documented columnar limit)
+        for k in ("apiVersion", "kind", "metadata"):
+            conds.append((nn & ~F.map_contains_key(el, k),
+                          _pjoin(ep, "/" + k), Codes.REQUIRED,
+                          "required for embedded resource"))
+    return conds
+
+
 def _compile_scalar(out: CompiledChecks, f: Field, col: Column, p: str, actual_type: str):
     nn = col.isNotNull()
 
@@ -340,22 +469,32 @@ def _compile_scalar(out: CompiledChecks, f: Field, col: Column, p: str, actual_t
     if dec is not None:
         prec, scale = dec
         num = col.try_cast("double")
+        casted = col.try_cast(f.dtype)
         if actual_type != f.dtype:
             # 1. not a number at all -> invalid_type
             out.add(nn & num.isNull(), p, Codes.INVALID_TYPE, rule="type_decimal",
                     params={"precision": prec, "scale": scale, "got": col})
             # 2. numeric but more fractional digits than the declared
-            #    scale: Spark's decimal cast would silently ROUND —
-            #    flag instead of accepting a lossy value
-            casted = col.try_cast(f.dtype)
-            out.add(nn & num.isNotNull() & casted.isNotNull()
-                    & (casted.cast("double") != num), p,
+            #    scale: Spark's decimal cast would silently ROUND — flag
+            #    instead of accepting a lossy value. Compared on the
+            #    DECIMAL domain (decimal(38,18) reference cast), exact
+            #    where a double compare mis-classifies boundaries for
+            #    p-s > 15; exactness bound: <= 20 integral + <= 18
+            #    fractional digits (beyond that both sides round the same
+            #    way only if the corruption is past digit 18).
+            wide = col.try_cast("decimal(38,18)")
+            out.add(nn & num.isNotNull() & casted.isNotNull() & wide.isNotNull()
+                    & (casted.cast("decimal(38,18)") != wide), p,
                     Codes.OVERFLOW, rule="decimal_scale",
                     message="fractional digits exceed declared scale",
                     params={"scale": scale, "got": col})
-        # 3. integral width overflow: |v| >= 10^(p-s)
-        bound = 10 ** (prec - scale)
-        out.add(nn & num.isNotNull() & (F.abs(num) >= F.lit(float(bound))), p,
+        # 3. integral width overflow: |v| >= 10^(p-s). try_cast to
+        #    decimal(p,s) is NULL exactly when the integral width
+        #    overflows (scale excess rounds, never nulls), so the check
+        #    runs on the decimal type itself — exact at ANY precision,
+        #    where the former double bound compare lost exactness for
+        #    p-s > 15 (decimal(20,2) boundary mis-classification).
+        out.add(nn & num.isNotNull() & casted.isNull(), p,
                 Codes.OVERFLOW, rule="decimal_range",
                 params={"precision": prec, "scale": scale, "got": col})
         if f.min is not None:
@@ -619,73 +758,155 @@ def _compile_array(out: CompiledChecks, f: Field, col: Column, p, phys_type):
                                               lambda x: x.isNotNull())).otherwise(empty),
                           gate=nn & F.exists(col, any_key_null))
 
+    # x-kubernetes-embedded-resource on array items: each element must
+    # carry apiVersion/kind/metadata, issues at /<field>/<i>/<key>
+    # (reference kubeopenapi/embedded.go:30-40 array branch)
+    if spec.embedded_resource:
+        def emb_viols(t, i):
+            cs = _embedded_conds(t, idx_path(i), elem_type)
+            if not cs:
+                return F.array().cast(_VIOL_ARR_DDL)
+            items = [F.when(c, violation(pk, code, rule="embedded_resource",
+                                         message=msg))
+                     for c, pk, code, msg in cs]
+            return F.filter(F.array(*items), lambda x: x.isNotNull())
+
+        def any_emb_bad(t):
+            cond = F.lit(False)
+            for c, *_ in _embedded_conds(t, "", elem_type):
+                cond = cond | c
+            return cond
+
+        if _embedded_conds(F.lit(None).cast(elem_type) if elem_type else col,
+                           "", elem_type):
+            out.add_array(F.when(nn, F.flatten(F.transform(col, emb_viols)))
+                          .otherwise(empty),
+                          gate=nn & F.exists(col, any_emb_bad))
+
 
 def _compile_map(out: CompiledChecks, f: Field, col: Column, p: str):
-    """Homogeneous map value validation (reference dsl/map_core.go:48-119),
-    issues at /<field>/<key> with RFC6901-escaped keys. Each map value is
-    validated against the full elem Field spec (first failing check per
-    entry is reported, matching the reference's per-value short-circuit)."""
+    """Homogeneous map value validation (reference dsl/map_core.go:48-119)
+    plus key-dispatch checks — propertyNames.pattern and
+    patternProperties (reference kubeopenapi/patterns.go:14-210,
+    plan.go:54-155) — issues at /<field>/<key> with RFC6901-escaped keys.
+    First failing check per entry is reported, check order mirroring the
+    reference's refiner chain: propertyNames -> key-pattern enforcement
+    -> homogeneous value spec -> per-pattern value types ->
+    additionalProperties value type."""
     spec: MapSpec = f.dtype
 
     def key_path(k):
         esc = F.regexp_replace(F.regexp_replace(k, "~", "~0"), "/", "~1")
-        return F.concat(F.lit(p + "/"), esc)
+        # p may be a Column (map nested in an array element's path)
+        base = p if isinstance(p, Column) else F.lit(p)
+        return F.concat(base, F.lit("/"), esc)
 
-    # each check: (cond(v) -> Column, code, rule, params(v) -> dict | None)
+    # each check: (cond(k, v) -> Column, code, rule,
+    #              params(k, v) -> dict | None, message | None)
     conds = []
+
+    def vcheck(fn, code, rule, params=None, message=None):
+        conds.append((lambda k, v: fn(v), code, rule,
+                      (lambda k, v: params(v)) if params else None, message))
+
+    # ---- key checks first (reference chains key refiners before value
+    # refiners, plan.go:117-147) ----
+    if spec.key_name_pattern is not None:
+        pat = spec.key_name_pattern
+        conds.append((lambda k, v: ~k.rlike(pat), Codes.PATTERN,
+                      "property_names", lambda k, v: {"pattern": pat, "key": k},
+                      "key does not match pattern"))
+    pats = [(pt, t) for pt, t in (spec.key_patterns or [])]
+    if pats:
+        def any_pat_match(k):
+            m = F.lit(False)
+            for pt, _ in pats:
+                m = m | k.rlike(pt)
+            return m
+        if spec.key_enforce:
+            conds.append((lambda k, v: ~any_pat_match(k), Codes.PATTERN,
+                          "key_pattern", lambda k, v: {"key": k},
+                          "key does not match any allowed pattern"))
+
+    # ---- homogeneous value spec ----
     if spec.value_min is not None:
-        conds.append((lambda v: v.isNotNull() & (v < spec.value_min),
-                      Codes.TOO_SMALL, "map_value_min",
-                      lambda v: {"min": spec.value_min, "got": v}))
+        vcheck(lambda v: v.isNotNull() & (v < spec.value_min),
+               Codes.TOO_SMALL, "map_value_min",
+               lambda v: {"min": spec.value_min, "got": v})
     if spec.value_max is not None:
-        conds.append((lambda v: v.isNotNull() & (v > spec.value_max),
-                      Codes.TOO_BIG, "map_value_max",
-                      lambda v: {"max": spec.value_max, "got": v}))
+        vcheck(lambda v: v.isNotNull() & (v > spec.value_max),
+               Codes.TOO_BIG, "map_value_max",
+               lambda v: {"max": spec.value_max, "got": v})
     ef = spec.elem_field
     if ef is not None:
         if ef.required or not ef.nullable:
-            conds.append((lambda v: v.isNull(), Codes.REQUIRED,
-                          "map_value_required", None))
+            vcheck(lambda v: v.isNull(), Codes.REQUIRED, "map_value_required")
         if ef.min is not None:
-            conds.append((lambda v: v.isNotNull() & (v < ef.min),
-                          Codes.TOO_SMALL, "min",
-                          lambda v: {"min": ef.min, "got": v}))
+            vcheck(lambda v: v.isNotNull() & (v < ef.min),
+                   Codes.TOO_SMALL, "min", lambda v: {"min": ef.min, "got": v})
         if ef.max is not None:
-            conds.append((lambda v: v.isNotNull() & (v > ef.max),
-                          Codes.TOO_BIG, "max",
-                          lambda v: {"max": ef.max, "got": v}))
+            vcheck(lambda v: v.isNotNull() & (v > ef.max),
+                   Codes.TOO_BIG, "max", lambda v: {"max": ef.max, "got": v})
         if ef.enum is not None:
-            conds.append((lambda v: v.isNotNull() & ~v.isin(list(ef.enum)),
-                          Codes.INVALID_ENUM, "enum", lambda v: {"got": v}))
+            vcheck(lambda v: v.isNotNull() & ~v.isin(list(ef.enum)),
+                   Codes.INVALID_ENUM, "enum", lambda v: {"got": v})
         if ef.pattern is not None:
-            conds.append((lambda v: v.isNotNull() & ~v.rlike(ef.pattern),
-                          Codes.PATTERN, "pattern",
-                          lambda v: {"pattern": ef.pattern, "got": v}))
+            vcheck(lambda v: v.isNotNull() & ~v.rlike(ef.pattern),
+                   Codes.PATTERN, "pattern",
+                   lambda v: {"pattern": ef.pattern, "got": v})
         if ef.min_str_len is not None:
-            conds.append((lambda v: v.isNotNull() & (F.length(v) < ef.min_str_len),
-                          Codes.TOO_SHORT, "min_length",
-                          lambda v: {"min": ef.min_str_len, "got": F.length(v)}))
+            vcheck(lambda v: v.isNotNull() & (F.length(v) < ef.min_str_len),
+                   Codes.TOO_SHORT, "min_length",
+                   lambda v: {"min": ef.min_str_len, "got": F.length(v)})
         if ef.max_str_len is not None:
-            conds.append((lambda v: v.isNotNull() & (F.length(v) > ef.max_str_len),
-                          Codes.TOO_LONG, "max_length",
-                          lambda v: {"max": ef.max_str_len, "got": F.length(v)}))
+            vcheck(lambda v: v.isNotNull() & (F.length(v) > ef.max_str_len),
+                   Codes.TOO_LONG, "max_length",
+                   lambda v: {"max": ef.max_str_len, "got": F.length(v)})
+
+    # ---- per-pattern value types (patterns.go:155-210: ALL matching
+    # patterns' type constraints apply; unmatched keys fall back to the
+    # additionalProperties schema type when declared) ----
+    for pt, t in pats:
+        if t is None:
+            continue
+        match = _json_type_match(F.lit(""), t)
+        if match is None:
+            continue  # importer warned: type not scorable columnarly
+
+        def pat_mismatch(k, v, pt=pt, t=t):
+            return k.rlike(pt) & v.isNotNull() & ~_json_type_match(v, t)
+        conds.append((pat_mismatch, Codes.INVALID_TYPE, "pattern_value_type",
+                      (lambda k, v, pt=pt, t=t: {"pattern": pt, "type": t}),
+                      "value type mismatch for patternProperties"))
+    if pats and spec.ap_type is not None and \
+            _json_type_match(F.lit(""), spec.ap_type) is not None:
+        def ap_mismatch(k, v):
+            return (~any_pat_match(k) & v.isNotNull()
+                    & ~_json_type_match(v, spec.ap_type))
+        conds.append((ap_mismatch, Codes.INVALID_TYPE, "additional_value_type",
+                      lambda k, v: {"type": spec.ap_type},
+                      "value type mismatch for additionalProperties"))
+
     if not conds:
         return
+
     def entry_viol(k, v):
         expr = F.lit(None).cast(_VIOL_DDL)
-        for cond, code, rule, params in reversed(conds):
-            expr = F.when(cond(v), violation(key_path(k), code, rule,
-                                             params(v) if params else None)).otherwise(expr)
+        for cond, code, rule, params, message in reversed(conds):
+            expr = F.when(cond(k, v),
+                          violation(key_path(k), code, rule,
+                                    params(k, v) if params else None,
+                                    message=message)).otherwise(expr)
         return expr
 
-    def any_value_bad(v):
+    def any_entry_bad(e):
         bad = F.lit(False)
-        for cond, _, _, _ in conds:
-            bad = bad | cond(v)
+        for cond, _, _, _, _ in conds:
+            bad = bad | cond(e["key"], e["value"])
         return bad
     entries = F.transform(F.map_entries(col), lambda e: entry_viol(e["key"], e["value"]))
     out.add_array(F.filter(entries, lambda x: x.isNotNull()),
-                  gate=F.exists(F.map_values(col), any_value_bad))
+                  gate=F.exists(F.map_entries(col), any_entry_bad))
 
 
 # --------------------------------------------------------------------------
@@ -722,20 +943,43 @@ def with_violations(df: DataFrame, schema: TableSchema,
     it costs hundreds of py4j round-trips, and unbound Column trees are
     immutable and reusable across DataFrames of the same shape. This is
     pure driver-side serial time — exactly what Amdahl punishes at higher
-    parallelism."""
+    parallelism.
+
+    Two-projection gate (r4): the OR of all check conditions lands in its
+    OWN projection (`_gsk_dirty`), referenced twice downstream so
+    CollapseProject keeps the boundary — the gate whole-stage-codegens
+    while the interpreted HOF violations build runs only where the gate
+    fired. The r3 single-projection shape put the gate INSIDE the same
+    Project as the HOF build, so the whole projection (gate included)
+    evaluated interpreted: clean rows re-evaluated every check condition
+    interpreted, and dirty rows evaluated them twice (VERDICT r3 #8 —
+    the rowpass driver-bench regression)."""
     key = (tuple(sorted(df.dtypes)), df.columns.count("_violations"),
            getattr(schema, "_version", 0))
     cache = getattr(schema, "_compiled_cache", None)
     if cache is None:
         cache = {}
         schema._compiled_cache = cache
-    combined = cache.get(key)
-    if combined is None:
-        combined = compile_checks(schema, df).combined()
-        cache[key] = combined
+    pair = cache.get(key)
+    if pair is None:
+        checks = compile_checks(schema, df)
+        pair = (checks.any_violation(), checks.body())
+        cache[key] = pair
+    gate, body = pair
+    empty = F.array().cast(_VIOL_ARR_DDL)
     if schema.fail_fast:
-        combined = F.slice(combined, 1, 1)  # first issue only (api.go:147-156)
-    return df.withColumn(violations_col, combined)
+        body = F.slice(body, 1, 1)  # first issue only (api.go:147-156)
+    if gate is None:
+        # some array check has no cheap gate: every row builds anyway
+        return df.withColumn(violations_col, body)
+    d = F.col("_gsk_dirty")
+    # d is referenced twice and is non-trivial to re-inline, so
+    # CollapseProject preserves the projection boundary; null gate (no
+    # check could evaluate) reads as clean, matching _maybe() semantics
+    guarded = F.when(d, body).otherwise(F.when(d.isNull() | ~d, empty))
+    return (df.withColumn("_gsk_dirty", gate)
+            .withColumn(violations_col, guarded)
+            .drop("_gsk_dirty"))
 
 
 def explode_violations(df: DataFrame, row_id: Column,

@@ -98,6 +98,10 @@ class ArraySpec:
     # x-kubernetes-list-type: map + list-map-keys -> uniqueness by the
     # composite key of these element fields (list.go mapChecker)
     list_map_keys: Optional[list] = None
+    # x-kubernetes-embedded-resource on array items: each element must
+    # carry apiVersion/kind (strings) + metadata (object), issues at
+    # /<field>/<i>/<key> (reference kubeopenapi/embedded.go:19-47)
+    embedded_resource: bool = False
 
 
 @dataclass
@@ -112,6 +116,20 @@ class MapSpec:
     value_min: Optional[Any] = None
     value_max: Optional[Any] = None
     elem_field: Optional["Field"] = None
+    # patternProperties (reference kubeopenapi/patterns.go:98-210,
+    # plan.go:54-155): list of (key regex, declared JSON type | None).
+    # A key matching a pattern must carry a value of that type
+    # (invalid_type at /<field>/<key>); key_enforce=True additionally
+    # requires every key to match >=1 pattern (pattern at /<field>/<key>)
+    # — set unless additionalProperties permits unmatched keys.
+    key_patterns: Optional[list] = None
+    key_enforce: bool = False
+    # propertyNames.pattern: every key must match this single regex
+    # (reference plan.go:37-41 buildKeyPatternRefiner)
+    key_name_pattern: Optional[str] = None
+    # additionalProperties-as-schema declared JSON type: unmatched keys'
+    # values must be of this type (patterns.go apType branch)
+    ap_type: Optional[str] = None
 
 
 @dataclass
@@ -133,6 +151,17 @@ class Field:
     # ingest accepts int OR string and renders ints as strings
     # (reference kubeopenapi/adapters.go isIntOrString)
     int_or_string: bool = False
+    # x-kubernetes-embedded-resource: the (object) value must carry
+    # apiVersion/kind (strings) + metadata (object) — presence checks
+    # at /<field>/<key> (reference kubeopenapi/embedded.go:19-75)
+    embedded_resource: bool = False
+    # anyOf/oneOf ambiguity rule attached at THIS field (any nesting
+    # depth — reference kubeopenapi/plan.go:178-211 builds the refiner
+    # per property): raw branch schema list + strategy ('error' ->
+    # matched != 1 is ambiguous_match; 'first_match' -> matched == 0 is
+    # no_match; reference union_ambiguity.go:47-72)
+    anyof_branches: Optional[list] = None
+    anyof_ambiguity: str = "error"
 
     def spark_type(self) -> T.DataType:
         if isinstance(self.dtype, ArraySpec):
@@ -215,7 +244,13 @@ class Discriminator:
 @dataclass
 class TableSchema:
     fields: list
-    unknown: str = "strict"  # 'strict' | 'strip' | 'passthrough'  (types.go:4-10)
+    # 'strict' | 'strip' | 'passthrough' (types.go:4-10) | 'schema'
+    # ('schema' = additionalProperties-with-schema on an object that also
+    # declares properties: unknown columns validate against ap_field
+    # instead of being stripped — beyond the reference MVP, which warns
+    # and prunes, kubeopenapi.go:157-160)
+    unknown: str = "strict"
+    ap_field: Optional[Field] = None  # value spec for unknown='schema'
     passthrough_target: Optional[str] = None
     refinements: list = dc_field(default_factory=list)
     or_refinements: list = dc_field(default_factory=list)
@@ -227,6 +262,14 @@ class TableSchema:
     # so chaining refine()/unique()/discriminate() after a validation run
     # never reuses stale compiled Columns
     _version: int = 0
+
+    def __getstate__(self):
+        # the compiled-checks memo holds JVM-bound Column objects; a
+        # schema that validated once must still cloudpickle to executors
+        # (ingest_json closures) — drop the cache, it rebuilds lazily
+        state = dict(self.__dict__)
+        state.pop("_compiled_cache", None)
+        return state
 
     # -- builder chaining -------------------------------------------------
     def refine(self, name, violates, path="", code="business_rule", params=None, when=None):

@@ -48,21 +48,27 @@ def validate_stream(
 
     def process(batch_df: DataFrame, batch_id: int):
         res = validate(batch_df, schema, row_id, dims=dims)
-        viols = res.violations.withColumn("batch_id", F.lit(batch_id)) \
-            .withColumn("params", F.to_json("params"))
-        if violations_sink:
-            # exactly-once under micro-batch REPLAY: foreachBatch is
-            # at-least-once, so a retried batch re-runs process() with
-            # the same batch_id — dynamic overwrite of the batch_id
-            # partition REPLACES that batch's rows instead of appending
-            # duplicates (same protocol as the batch ledger,
-            # ledger.run_with_ledger's violations write)
-            (viols.write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("batch_id")
-             .parquet(violations_sink))
-        if on_batch is not None:
-            on_batch(res, batch_id)
+        # try/finally: a schema with a broadcast="auto" unique key persists
+        # a dup-key probe relation per batch — without the release a
+        # long-running stream grows executor caches without bound
+        try:
+            viols = res.violations.withColumn("batch_id", F.lit(batch_id)) \
+                .withColumn("params", F.to_json("params"))
+            if violations_sink:
+                # exactly-once under micro-batch REPLAY: foreachBatch is
+                # at-least-once, so a retried batch re-runs process() with
+                # the same batch_id — dynamic overwrite of the batch_id
+                # partition REPLACES that batch's rows instead of appending
+                # duplicates (same protocol as the batch ledger,
+                # ledger.run_with_ledger's violations write)
+                (viols.write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("batch_id")
+                 .parquet(violations_sink))
+            if on_batch is not None:
+                on_batch(res, batch_id)
+        finally:
+            res.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(process)
     if checkpoint:

@@ -277,3 +277,310 @@ def test_nested_unknown_key_strict_on_ingest(spark):
     got = {(r["id"], i["path"], i["code"])
            for r in parsed.collect() for i in r["_ingest_violations"]}
     assert got == {("b", "/spec/rogue", "unknown_key")}
+
+
+def test_contains_min_max_primitive(spark):
+    """contains/minContains/maxContains on a primitive array (reference
+    kubeopenapi/contains.go:16-127, kubeopenapi_contains_test.go
+    TestImport_Array_Contains_MinMax_Primitive): matched-count below
+    minContains -> too_short, above maxContains -> too_long."""
+    sch, warns = import_openapi({
+        "type": "object",
+        "properties": {
+            "id": {"type": "string"},
+            "vals": {"type": "array",
+                     "items": {"type": "number"},
+                     "contains": {"type": "number"},
+                     "minContains": 2, "maxContains": 3},
+        },
+        "additionalProperties": False,
+    })
+    spec = {f.name: f for f in sch.fields}["vals"].dtype
+    assert isinstance(spec, ArraySpec)
+    assert spec.contains_min == 2 and spec.contains_max == 3
+    df = spark.createDataFrame(
+        [("ok", [1.0, 2.0, 0.0]), ("low", [1.0]),
+         ("high", [1.0, 2.0, 3.0, 4.0])],
+        T.StructType([T.StructField("id", T.StringType()),
+                      T.StructField("vals", T.ArrayType(T.DoubleType()))]))
+    sch.unknown = "strip"
+    _, viols, _ = validate_rows(df, sch, F.col("id"))
+    got = {(r["row_id"], r["path"], r["code"]) for r in viols.collect()}
+    assert got == {("low", "/vals", "too_short"), ("high", "/vals", "too_long")}
+
+
+def test_contains_object_required(spark):
+    """contains with an object schema honors `required` keys (reference
+    contains.go:147-162, TestImport_Array_Contains_Object_Required)."""
+    sch, _ = import_openapi({
+        "type": "object",
+        "properties": {
+            "id": {"type": "string"},
+            "items": {"type": "array",
+                      "items": {"type": "object",
+                                "properties": {"name": {"type": "string"},
+                                               "x": {"type": "integer"}}},
+                      "contains": {"type": "object", "required": ["name"]},
+                      "minContains": 1},
+        },
+        "additionalProperties": False,
+    })
+    df = spark.createDataFrame(
+        [("ok", [("a", None), (None, 1)]), ("bad", [(None, 1)])],
+        T.StructType([
+            T.StructField("id", T.StringType()),
+            T.StructField("items", T.ArrayType(T.StructType([
+                T.StructField("name", T.StringType()),
+                T.StructField("x", T.LongType())])))]))
+    sch.unknown = "strip"
+    _, viols, _ = validate_rows(df, sch, F.col("id"))
+    got = {(r["row_id"], r["path"], r["code"]) for r in viols.collect()
+           if r["rule"] in ("contains_min", "contains_max")}
+    assert got == {("bad", "/items", "too_short")}
+
+
+def test_pattern_properties_key_enforcement(spark):
+    """patternProperties key regex (reference patterns.go:48-96,
+    TestImport_PatternProperties_MultipleRegex_StringValues): keys must
+    match >=1 pattern -> pattern at /<field>/<key>; additionalProperties
+    true lifts the enforcement (plan.go:103-115)."""
+    base = {
+        "type": "object",
+        "properties": {
+            "id": {"type": "string"},
+            "labels": {"type": "object",
+                       "patternProperties": {"^app-": {"type": "string"},
+                                             "^sys-": {"type": "string"}}},
+        },
+        "required": ["labels"],
+    }
+    sch, _ = import_openapi(base)
+    spec = {f.name: f for f in sch.fields}["labels"].dtype
+    assert isinstance(spec, MapSpec) and spec.key_enforce
+    assert [p for p, _ in spec.key_patterns] == ["^app-", "^sys-"]
+    df = spark.createDataFrame(
+        [("ok", {"app-a": "x", "sys-b": "y"}), ("bad", {"bad": "x"})],
+        T.StructType([T.StructField("id", T.StringType()),
+                      T.StructField("labels", T.MapType(T.StringType(),
+                                                        T.StringType()))]))
+    sch.unknown = "strip"
+    _, viols, _ = validate_rows(df, sch, F.col("id"))
+    got = {(r["row_id"], r["path"], r["code"]) for r in viols.collect()}
+    assert got == {("bad", "/labels/bad", "pattern")}
+
+    # additionalProperties: true -> unmatched keys allowed
+    import copy as _copy
+    relaxed = _copy.deepcopy(base)
+    relaxed["properties"]["labels"]["additionalProperties"] = True
+    sch2, _ = import_openapi(relaxed)
+    assert not {f.name: f for f in sch2.fields}["labels"].dtype.key_enforce
+    sch2.unknown = "strip"
+    _, viols2, _ = validate_rows(df, sch2, F.col("id"))
+    assert viols2.collect() == []
+
+
+def test_pattern_properties_value_types(spark):
+    """Per-pattern value types (reference patterns.go:155-210
+    buildPatternPropertiesValueTypesRefiner): a key matching a typed
+    pattern must carry a castable value -> invalid_type at the key path;
+    unmatched keys fall back to the additionalProperties schema type."""
+    sch, _ = import_openapi({
+        "type": "object",
+        "properties": {
+            "id": {"type": "string"},
+            "conf": {"type": "object",
+                     "patternProperties": {"^n_": {"type": "integer"}},
+                     "additionalProperties": {"type": "boolean"}},
+        },
+    })
+    spec = {f.name: f for f in sch.fields}["conf"].dtype
+    assert isinstance(spec, MapSpec)
+    assert spec.key_patterns == [("^n_", "integer")]
+    assert spec.ap_type == "boolean" and not spec.key_enforce
+    df = spark.createDataFrame(
+        [("ok", {"n_x": "12", "flag": "true"}),
+         ("badpat", {"n_y": "zz"}),
+         ("badap", {"other": "notabool"})],
+        T.StructType([T.StructField("id", T.StringType()),
+                      T.StructField("conf", T.MapType(T.StringType(),
+                                                      T.StringType()))]))
+    sch.unknown = "strip"
+    _, viols, _ = validate_rows(df, sch, F.col("id"))
+    got = {(r["row_id"], r["path"], r["code"], r["message"])
+           for r in viols.collect()}
+    assert got == {
+        ("badpat", "/conf/n_y", "invalid_type",
+         "value type mismatch for patternProperties"),
+        ("badap", "/conf/other", "invalid_type",
+         "value type mismatch for additionalProperties"),
+    }
+
+
+def test_property_names_pattern(spark):
+    """propertyNames.pattern -> key regex on map fields (reference
+    plan.go:36-41 buildKeyPatternRefiner, code pattern at the key)."""
+    sch, _ = import_openapi({
+        "type": "object",
+        "properties": {
+            "id": {"type": "string"},
+            "env": {"type": "object",
+                    "propertyNames": {"pattern": "^[A-Z_]+$"},
+                    "additionalProperties": {"type": "string"}},
+        },
+    })
+    spec = {f.name: f for f in sch.fields}["env"].dtype
+    assert isinstance(spec, MapSpec) and spec.key_name_pattern == "^[A-Z_]+$"
+    df = spark.createDataFrame(
+        [("ok", {"HOME": "/", "PATH_X": "y"}), ("bad", {"lower": "v"})],
+        T.StructType([T.StructField("id", T.StringType()),
+                      T.StructField("env", T.MapType(T.StringType(),
+                                                     T.StringType()))]))
+    sch.unknown = "strip"
+    _, viols, _ = validate_rows(df, sch, F.col("id"))
+    got = {(r["row_id"], r["path"], r["code"], r["message"])
+           for r in viols.collect()}
+    assert got == {("bad", "/env/lower", "pattern", "key does not match pattern")}
+
+
+def test_nested_anyof_ambiguity(spark):
+    """anyOf ambiguity rules attach at ANY depth (reference
+    plan.go:178-211 builds the refiner per property): a nested anyOf
+    emits ambiguous_match at /parent/child (VERDICT r3 #4)."""
+    sch, _ = import_openapi({
+        "type": "object",
+        "properties": {
+            "id": {"type": "string"},
+            "parent": {"type": "object",
+                       "properties": {
+                           "child": {"anyOf": [{"type": "string"},
+                                               {"type": "integer"}]}}},
+        },
+    })
+    parent = {f.name: f for f in sch.fields}["parent"].dtype
+    assert isinstance(parent, TableSchema)
+    child = {f.name: f for f in parent.fields}["child"]
+    assert child.anyof_branches is not None
+    df = spark.createDataFrame(
+        [("a", ("8080",)), ("b", ("http",)), ("c", (None,)), ("d", None)],
+        T.StructType([
+            T.StructField("id", T.StringType()),
+            T.StructField("parent", T.StructType([
+                T.StructField("child", T.StringType())]))]))
+    sch.unknown = "strip"
+    _, viols, _ = validate_rows(df, sch, F.col("id"))
+    got = {(r["row_id"], r["path"], r["code"]) for r in viols.collect()}
+    # '8080' matches both branches -> ambiguous, at the NESTED path;
+    # null child and null parent emit nothing
+    assert got == {("a", "/parent/child", "ambiguous_match")}
+
+
+def test_embedded_resource_object_and_array(spark):
+    """x-kubernetes-embedded-resource presence checks (reference
+    embedded.go:19-75, kubeopenapi_embedded_test.go): apiVersion/kind/
+    metadata required on the embedded object or on each array element."""
+    sch, _ = import_openapi({
+        "type": "object",
+        "properties": {
+            "id": {"type": "string"},
+            "res": {"type": "object",
+                    "properties": {"apiVersion": {"type": "string"},
+                                   "kind": {"type": "string"},
+                                   "metadata": {"type": "object",
+                                                "additionalProperties":
+                                                    {"type": "string"}}},
+                    "x-kubernetes-embedded-resource": True},
+            "items": {"type": "array",
+                      "items": {"type": "object",
+                                "properties": {"apiVersion": {"type": "string"},
+                                               "kind": {"type": "string"},
+                                               "metadata": {"type": "object",
+                                                            "additionalProperties":
+                                                                {"type": "string"}}},
+                                "x-kubernetes-embedded-resource": True}},
+        },
+    })
+    by = {f.name: f for f in sch.fields}
+    assert by["res"].embedded_resource
+    assert isinstance(by["items"].dtype, ArraySpec)
+    assert by["items"].dtype.embedded_resource
+
+    emb_t = T.StructType([T.StructField("apiVersion", T.StringType()),
+                          T.StructField("kind", T.StringType()),
+                          T.StructField("metadata", T.MapType(
+                              T.StringType(), T.StringType()))])
+    df = spark.createDataFrame(
+        [("good", ("v1", "Pod", {}), [("v1", "Pod", {})]),
+         ("noapi", (None, "Pod", {}), None),
+         ("elem", None, [("v1", "Pod", {}), (None, None, {})])],
+        T.StructType([T.StructField("id", T.StringType()),
+                      T.StructField("res", emb_t),
+                      T.StructField("items", T.ArrayType(emb_t))]))
+    sch.unknown = "strip"
+    _, viols, _ = validate_rows(df, sch, F.col("id"))
+    got = {(r["row_id"], r["path"], r["code"]) for r in viols.collect()
+           if r["rule"] == "embedded_resource"}
+    assert got == {
+        ("noapi", "/res/apiVersion", "required"),
+        ("elem", "/items/1/apiVersion", "required"),
+        ("elem", "/items/1/kind", "required"),
+    }
+
+    # reference parity switch: embedded checks off -> no rules compiled
+    sch_off, _ = import_openapi({
+        "type": "object",
+        "properties": {"res": {"type": "object",
+                               "properties": {"apiVersion": {"type": "string"}},
+                               "x-kubernetes-embedded-resource": True}},
+    }, embedded_checks=False)
+    assert not {f.name: f for f in sch_off.fields}["res"].embedded_resource
+
+
+def test_additional_properties_schema_validates_overflow(spark):
+    """additionalProperties-with-schema on an object that also declares
+    properties: overflow keys VALIDATE against the value spec instead of
+    warn+strip (beyond the reference MVP, kubeopenapi.go:157-160;
+    VERDICT r3 #7) — wrong-typed values emit invalid_type at their path,
+    on both the row pass and JSON ingest."""
+    sch, warns = import_openapi({
+        "type": "object",
+        "properties": {"id": {"type": "string"}},
+        "required": ["id"],
+        "additionalProperties": {"type": "integer"},
+    })
+    assert sch.unknown == "schema" and sch.ap_field is not None
+
+    # row pass over physical overflow columns
+    df = spark.createDataFrame(
+        [("a", "12"), ("b", "zz")],
+        T.StructType([T.StructField("id", T.StringType()),
+                      T.StructField("extra", T.StringType())]))
+    _, viols, _ = validate_rows(df, sch, F.col("id"))
+    got = {(r["row_id"], r["path"], r["code"]) for r in viols.collect()}
+    assert got == {("b", "/extra", "invalid_type")}
+
+    # JSON ingest: overflow values validate, then drop from the struct
+    docs = ['{"id":"a","extra":3}', '{"id":"b","extra":"zz"}']
+    jdf = spark.createDataFrame([(d,) for d in docs], T.StructType(
+        [T.StructField("payload", T.StringType(), False)]))
+    parsed = ingest_json(jdf, sch)
+    igot = {(r["id"], i["path"], i["code"])
+            for r in parsed.collect() for i in r["_ingest_violations"]}
+    assert igot == {("b", "/extra", "invalid_type")}
+
+
+def test_import_does_not_mutate_caller_document():
+    """ADVICE r3: allOf normalization deep-merges in place — the import
+    must deepcopy so the caller's schema object is never rewritten."""
+    import copy as _copy
+    doc = {
+        "type": "object",
+        "$defs": {"Probe": {"type": "object",
+                            "properties": {"path": {"type": "string"}}}},
+        "properties": {
+            "liveness": {"allOf": [{"$ref": "#/$defs/Probe"}],
+                         "properties": {"port": {"type": "integer"}}},
+        },
+    }
+    snapshot = _copy.deepcopy(doc)
+    import_openapi(doc)
+    assert doc == snapshot

@@ -211,10 +211,14 @@ def test_near_dup_recall_high_dim(spark):
              .filter(F.col("cos") >= 0.98).collect()}
     assert len(exact) >= 35  # the planted pairs dominate
 
-    approx = {(r["id_a"], r["id_b"]) for r in
-              embedding_near_duplicates(emb, threshold=0.98, dim=dim,
-                                        n_bits=6, n_tables=3,
-                                        multi_probe=1).collect()}
+    nd = embedding_near_duplicates(emb, threshold=0.98, dim=dim,
+                                   n_bits=6, n_tables=3, multi_probe=1)
+    # VERDICT r3 #5: the pair-dedup exchange must carry ONLY the id pair
+    # — a dedup over (id, vectors) lowers to an Aggregate with first(va)/
+    # first(vb), which ships ~2 x dim-sized arrays per candidate
+    plan = nd._jdf.queryExecution().optimizedPlan().toString()
+    assert "first(va" not in plan and "first(vb" not in plan
+    approx = {(r["id_a"], r["id_b"]) for r in nd.collect()}
     recall = len(exact & approx) / len(exact)
     # no false positives possible: candidates are exact-verified
     assert approx <= exact

@@ -396,3 +396,21 @@ def test_decimal_number_mode(spark):
     _, viols2, _ = validate_rows(dfd, sch2, F.col("id"))
     got2 = {(r["row_id"], r["rule"]) for r in viols2.collect()}
     assert got2 == {("b", "decimal_range")}
+
+
+def test_decimal_high_precision_boundary(spark):
+    """VERDICT r3 #9: the width bound must compare on the DECIMAL domain.
+    decimal(20,2) has p-s = 18 > 15 — in double, both the bound 10^18 and
+    the boundary value 999999999999999999.99 collapse to 1e18, so a
+    double compare wrongly flags the legal boundary value. The try_cast
+    probe (NULL exactly on integral overflow) classifies both exactly."""
+    df = _df(spark, [("max_ok", "999999999999999999.99"),
+                     ("over", "1000000000000000000.00"),
+                     ("scale", "1.239")],
+             T.StructType([T.StructField("id", T.StringType()),
+                           T.StructField("amt", T.StringType())]))
+    sch = S.table(S.field("id", "string", required=True),
+                  S.field("amt", "decimal(20,2)"))
+    _, viols, _ = validate_rows(df, sch, F.col("id"))
+    got = {(r["row_id"], r["rule"]) for r in viols.collect()}
+    assert got == {("over", "decimal_range"), ("scale", "decimal_scale")}

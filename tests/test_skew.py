@@ -80,31 +80,44 @@ def test_auto_probe_leaves_no_cached_relations(spark, tmp_path):
     )
     from goskema_spark.runner import validate
 
-    base = spark.sparkContext._jsc.getPersistentRDDs().size()
+    import time
 
-    def cached():
-        # relative to the session baseline: other suite tests may hold
-        # their own caches in the shared session
-        return spark.sparkContext._jsc.getPersistentRDDs().size() - base
+    def rdd_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toString()
+                   .strip("[]").replace(" ", "").split(",")) - {""}
+
+    # track NEW ids relative to the baseline SET (not a count delta):
+    # caches leaked by earlier tests in the shared session may be
+    # context-cleaned mid-test, which made a count-based delta go
+    # negative (order-dependent failure when run after test_streaming)
+    base = rdd_ids()
+
+    def assert_no_new_caches():
+        # unpersist(blocking=False) is async — poll briefly
+        for _ in range(50):
+            if not (rdd_ids() - base):
+                return
+            time.sleep(0.1)
+        assert rdd_ids() - base == set()
 
     corpus = corpus_from_documents(spark, "/root/testdata/sf0.001")
     dims = {"dim_source": dim_source_df(spark)}
-    assert cached() == 0
+    assert_no_new_caches()
 
     # direct call, no lifecycle list -> released before returning
     v = uniqueness_violations(corpus, "doc_id", "_ord", row_id_col(),
                               broadcast="auto")
     v.count()
-    assert cached() == 0
+    assert_no_new_caches()
 
     # lazy validate -> held for the run, released by unpersist()
     res = validate(corpus, corpus_schema(), row_id_col(), dims=dims)
     res.violations.count()
     res.unpersist()
-    assert cached() == 0
+    assert_no_new_caches()
 
     # report-path validate -> released inside validate()
     res2 = validate(corpus, corpus_schema(), row_id_col(), dims=dims,
                     report_path=str(tmp_path / "report"))
-    assert cached() == 0
+    assert_no_new_caches()
     assert res2.violations.count() > 0

@@ -1,0 +1,121 @@
+"""Phase profiler for the full_validation bench job: splits one run into
+build / probe / optimize / report-write / violations-read / verdicts
+phases to locate non-scaling fixed cost (VERDICT r3 'What's wrong #1').
+
+Usage: python tools/profile_full.py <cpus> [reps]
+Prints one JSON line per rep plus a min-merged summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+os.environ.setdefault("GSK_DRIVER_MEM", "40g")
+
+
+def main():
+    cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+
+    from bench import corpus_path, get_spark
+    from pyspark.sql import functions as F
+    from goskema_spark.corpus import corpus_schema, dim_source_df, row_id_col
+    from goskema_spark.runner import validate
+
+    spark = get_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    path = corpus_path("/root/testdata/sf0.1", 8192)
+    dim = dim_source_df(spark)
+    schema = corpus_schema()
+
+    def load():
+        return spark.read.parquet(path)
+
+    # ---- warm run (full q_full shape) ------------------------------------
+    res = validate(load(), schema, row_id_col(), dims={"dim_source": dim},
+                   report_path="/tmp/gsk_prof_report.parquet")
+    res.violations.write.format("noop").mode("overwrite").save()
+    res.verdicts.write.format("noop").mode("overwrite").save()
+    res.unpersist()
+
+    from goskema_spark.rowpass import validate_rows
+    from goskema_spark.referential import referential_violations
+    from goskema_spark.runner import explode_with_carry, _verdicts_from_report
+    from goskema_spark.uniqueness import uniqueness_violations
+
+    out_reps = []
+    for rep in range(reps):
+        t = {}
+        df = load()
+        t0 = time.time()
+
+        # phase: probe (the broadcast='auto' dup-count probe job)
+        dups_probe = (df.filter(F.col("doc_id").isNotNull())
+                      .groupBy(F.xxhash64(F.col("doc_id")).alias("_kh"))
+                      .agg(F.count(F.lit(1)).alias("_cnt"))
+                      .filter(F.col("_cnt") > 1).select("_kh"))
+        dups_probe = dups_probe.persist()
+        over = dups_probe.limit(4_000_001).count() > 4_000_000
+        t["probe"] = time.time() - t0; t0 = time.time()
+
+        # phase: build (python plan assembly, broadcast=True -> no extra job)
+        ann, _, _ = validate_rows(df, schema, row_id_col())
+        carry = ["source"]
+        uv = uniqueness_violations(df, "doc_id", "_ord", row_id_col(),
+                                   carry=carry, broadcast=True)
+        rv = referential_violations(df, "source", dim, "source",
+                                    row_id_col(), code="invalid_enum", carry=carry)
+        rp = explode_with_carry(ann, row_id_col(), carry)
+        all_viols = rp.unionByName(uv).unionByName(rv)
+        v_rec = (all_viols.withColumn("_rec", F.lit("v"))
+                 .withColumn("_rows", F.lit(None).cast("bigint")))
+        null_viol_cols = [F.lit(None).cast("string").alias(c)
+                          for c in ("row_id", "path", "code", "message", "rule")]
+        rows_rec = (df.groupBy("source")
+                    .agg(F.count(F.lit(1)).cast("bigint").alias("_rows"))
+                    .select(*null_viol_cols,
+                            F.lit(None).cast("map<string,string>").alias("params"),
+                            F.col("source"), F.lit("s").alias("_rec"), F.col("_rows")))
+        report = v_rec.unionByName(rows_rec)
+        t["build_py"] = time.time() - t0; t0 = time.time()
+
+        # phase: driver analysis + optimization (no execution)
+        report._jdf.queryExecution().optimizedPlan()
+        t["optimize"] = time.time() - t0; t0 = time.time()
+
+        # phase: the report write job
+        report.write.mode("overwrite").parquet("/tmp/gsk_prof_report.parquet")
+        t["write"] = time.time() - t0; t0 = time.time()
+        dups_probe.unpersist(blocking=False)
+
+        # phase: violations noop (column-pruned parquet read)
+        rpt = spark.read.parquet("/tmp/gsk_prof_report.parquet")
+        (rpt.filter(F.col("_rec") == "v")
+         .select("row_id", "path", "code", "message", "rule", "params", "source")
+         .write.format("noop").mode("overwrite").save())
+        t["viols_read"] = time.time() - t0; t0 = time.time()
+
+        # phase: verdicts noop
+        _verdicts_from_report(rpt, carry, "source").write.format(
+            "noop").mode("overwrite").save()
+        t["verdicts"] = time.time() - t0
+
+        t = {k: round(v, 3) for k, v in t.items()}
+        t["total"] = round(sum(t.values()), 3)
+        t["cpus"] = cpus
+        out_reps.append(t)
+        print(json.dumps(t), flush=True)
+
+    best = {k: min(r[k] for r in out_reps) for k in out_reps[0]}
+    print("MIN: " + json.dumps(best), flush=True)
+
+
+if __name__ == "__main__":
+    main()
