@@ -25,9 +25,19 @@ REPLICATE = int(os.environ.get("GSK_REPLICATE", "256"))
 
 
 def get_spark(cpus: int) -> SparkSession:
+    # Pin GC worker threads to the simulated core count: a local[N] JVM
+    # otherwise runs GC with ALL host cores (32 here), so the small-N leg
+    # of a scaling comparison gets out-of-band parallel help that a real
+    # N-core executor would not have — inflating local[2] throughput and
+    # depressing the measured N->4N efficiency. A real cluster's N-core
+    # executor garbage-collects with N cores; this makes the local proxy
+    # faithful to that.
+    gc_opts = (f"-XX:ParallelGCThreads={max(2, cpus)} "
+               f"-XX:ConcGCThreads={max(1, cpus // 4)}")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("goskema_spark_bench")
+        .config("spark.driver.extraJavaOptions", gc_opts)
         # InferFiltersFromGenerate duplicates the (non-codegen) violations
         # lambda expression into a redundant Filter below every explode —
         # excluding it halves the row-pass cost (measured 1.58s -> 0.58s
