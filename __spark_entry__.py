@@ -505,6 +505,74 @@ def _q_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("params")["got"].cast("int").alias("matched")))
 
 
+def _q_pattern_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """patternProperties import (reference kubeopenapi/patterns.go:155-210,
+    plan.go:54-155): keys matching ^app- must carry integer-castable
+    values, keys matching ^sys- strings; unmatched keys fall back to the
+    additionalProperties boolean schema — invalid_type at /attrs/<key>."""
+    from goskema_spark.kubeopenapi import import_openapi
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    attrs = F.create_map(
+        F.lit("app-n"),
+        F.when(d % 3 == 0, F.concat(F.lit("x"), d.cast("string")))
+         .otherwise(d.cast("string")),
+        F.lit("sys-tag"), F.concat(F.lit("t"), d.cast("string")),
+        F.lit("other"),
+        F.when(d % 5 == 0, F.lit("true"))
+         .otherwise(F.concat(F.lit("v"), d.cast("string"))),
+    )
+    df = docs.select(d.cast("long").alias("_ord"), attrs.alias("attrs"))
+    sch, _ = import_openapi({
+        "type": "object",
+        "properties": {
+            "attrs": {"type": "object",
+                      "patternProperties": {"^app-": {"type": "integer"},
+                                            "^sys-": {"type": "string"}},
+                      "additionalProperties": {"type": "boolean"}},
+        },
+    })
+    sch.unknown = "strip"
+    _, viols, _ = validate_rows(df, sch, F.col("_ord").cast("string"))
+    return viols.select(F.col("row_id").cast("bigint").alias("row_id"),
+                        "path", "code", "rule")
+
+
+def _q_embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x-kubernetes-embedded-resource presence checks (reference
+    kubeopenapi/embedded.go:19-75): apiVersion/kind required on the
+    embedded object — nulled by fixed moduli on doc_id."""
+    from goskema_spark.kubeopenapi import import_openapi
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    res = F.struct(
+        F.when(d % 7 != 0, F.lit("v1")).alias("apiVersion"),
+        F.when(d % 11 != 0, F.lit("Doc")).alias("kind"),
+        F.create_map(F.lit("name"), F.concat(F.lit("doc-"), d.cast("string")))
+         .alias("metadata"),
+    )
+    df = docs.select(d.cast("long").alias("_ord"), res.alias("res"))
+    sch, _ = import_openapi({
+        "type": "object",
+        "properties": {
+            "res": {"type": "object",
+                    "properties": {"apiVersion": {"type": "string"},
+                                   "kind": {"type": "string"},
+                                   "metadata": {"type": "object",
+                                                "additionalProperties":
+                                                    {"type": "string"}}},
+                    "x-kubernetes-embedded-resource": True},
+        },
+    })
+    sch.unknown = "strip"
+    _, viols, _ = validate_rows(df, sch, F.col("_ord").cast("string"))
+    return (viols.filter(F.col("rule") == "embedded_resource")
+            .select(F.col("row_id").cast("bigint").alias("row_id"),
+                    "path", "code"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rowpass_violations": _q_rowpass,
@@ -533,6 +601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anyof_ambiguity": _q_anyof_ambiguity,
         "decimal_violations": _q_decimal,
         "contains_violations": _q_contains,
+        "pattern_props_violations": _q_pattern_props,
+        "embedded_resource_violations": _q_embedded,
     }
 
 
@@ -709,6 +779,21 @@ WHERE target IS NOT NULL
   AND (CASE WHEN TRY_CAST(target AS BIGINT) IS NOT NULL THEN 1 ELSE 0 END)
     + (CASE WHEN lower(target) IN ('true','false') THEN 1 ELSE 0 END)
     + 1 <> 1""",
+        "embedded_resource_violations": """
+SELECT CAST(doc_id AS BIGINT) AS row_id, '/res/apiVersion' AS path,
+       'required' AS code
+FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), '/res/kind', 'required'
+FROM documents WHERE doc_id % 11 = 0""",
+        "pattern_props_violations": """
+SELECT CAST(doc_id AS BIGINT) AS row_id, '/attrs/app-n' AS path,
+       'invalid_type' AS code, 'pattern_value_type' AS rule
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), '/attrs/other',
+       'invalid_type', 'additional_value_type'
+FROM documents WHERE doc_id % 5 <> 0""",
         "contains_violations": """
 WITH c AS (
   SELECT CAST(doc_id AS BIGINT) AS row_id,

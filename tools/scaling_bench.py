@@ -83,6 +83,11 @@ def main():
         f"configs interleaved A/B across {reps} reps; each rep is min-of-2 "
         "timed runs after a warm run in a fresh JVM).",
         "",
+        "Fidelity note: each local[N] JVM pins `-XX:ParallelGCThreads=N` "
+        "(bench.py get_spark) — without it the JVM garbage-collects with "
+        "all 32 host cores, giving the small-N leg parallel help a real "
+        "N-core executor would not have.",
+        "",
         "## Per-rep raw timings (seconds) — the auditable evidence",
         "",
         "| job | cores | " + " | ".join(f"rep{i}" for i in range(reps))
