@@ -54,10 +54,9 @@ class ValidationResult:
     _persisted: list = dc_field(default_factory=list)  # probe relations to release
 
     def unpersist(self):
-        """Release any relations persisted for this run. Since the
-        broadcast='auto' probe moved to a stateless HLL bound (r4,
-        uniqueness.py) nothing is persisted by default — kept as the
-        stable lifecycle hook callers already wrap in try/finally."""
+        """Release any probe relations persisted for this run (the
+        broadcast='auto' dup-key probe). The report itself is parquet,
+        never an executor cache."""
         for df in self._persisted:
             df.unpersist(blocking=False)
         self._persisted = []
@@ -104,7 +103,8 @@ def validate(
         ordinal = uk.ordinal or uk.column
         scope = uniqueness_scope if uniqueness_scope is not None else df
         uv = uniqueness_violations(scope, uk.column, ordinal, row_id, carry=carry,
-                                   broadcast=getattr(uk, "broadcast", True))
+                                   broadcast=getattr(uk, "broadcast", True),
+                                   persisted=persisted)
         if uniqueness_scope is not None and carry:
             parts = df.select(F.col(partition_col).alias("_part")).distinct()
             uv = uv.join(F.broadcast(parts),
@@ -160,6 +160,10 @@ def validate(
         report = df.sparkSession.read.parquet(report_path)
         violations = (report.filter(F.col("_rec") == "v")
                       .select(*VIOLATION_COLS, *carry))
+        # the main job has consumed the probe caches — release them now
+        for p in persisted:
+            p.unpersist(blocking=False)
+        persisted = []
     else:
         violations = all_viols
 

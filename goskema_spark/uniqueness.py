@@ -5,24 +5,23 @@ occurrence>, "dup": <ordinal of this occurrence>, "key": <value>}.
 
 Scale design (north rule: salted hash-aggregate with skew mitigation):
 
-  stage 1  ONE hash aggregate by the true key computing count +
-           min(ordinal) together — Spark's partial aggregation IS the
-           salted first stage (a key hot in every partition contributes
-           at most #map-tasks partial rows to its reducer), so hot keys
-           pre-reduce on every core before the shuffle. NOT a window: a
-           window partitioned by key serializes each hot key into one
-           reducer task (a serial tail at any cluster size).
-  stage 2  filter count > 1 — the duplicated-keys relation (key, first
-           ordinal), tiny at any realistic duplicate rate.
-  stage 3  join it back to the corpus (broadcast-hinted under the
-           auto-mode HLL bound, AQE-planned otherwise) and keep rows
-           whose ordinal != first.
+  stage 1  groupBy(salt(key), key) partial counts   -- map-side combine
+           means hot keys are pre-reduced per-partition before shuffling;
+           the explicit salt column additionally splits a pathological
+           single-key shuffle partition across `salt_buckets` reducers.
+  stage 2  re-aggregate by key, filter count > 1    -- duplicate keys only,
+           a tiny relation at any realistic duplicate rate.
+  stage 3  broadcast-semi-join the dup keys back to the corpus; recover
+           first/dup ordinals with a map-side-combinable MIN aggregate
+           over that subset + broadcast join — NOT a window: a window
+           partitioned by key serializes each hot key into one reducer
+           task (a serial tail at any cluster size), while the partial
+           aggregate reduces the hot key on every core first.
 
 The expensive global sort-shuffle over 10^12 rows is avoided entirely:
-the corpus is scanned exactly twice (aggregate + violation join),
-nothing is computed twice, nothing is cached. At a 0.1% duplicate rate
-on 10^12 rows the join touches 10^9 dup-keyed rows spread over the
-cluster — fine; AQE handles residual skew.
+only `rows-with-duplicated-keys` are touched in stage 3. At a 0.1%
+duplicate rate on 10^12 rows that is 10^9 rows spread over the cluster —
+fine; the common path is hash aggregates with AQE handling residual skew.
 """
 
 from __future__ import annotations
@@ -64,7 +63,8 @@ def duplicate_keys(df: DataFrame, key: str, salt_buckets: int = 0) -> DataFrame:
 def uniqueness_violations(df: DataFrame, key: str, ordinal: str,
                           row_id: Column, carry=(),
                           broadcast=True,
-                          broadcast_threshold_keys: int = 4_000_000) -> DataFrame:
+                          broadcast_threshold_keys: int = 4_000_000,
+                          persisted=None) -> DataFrame:
     """Violation rows for every non-first occurrence of a duplicated key.
 
     `ordinal` must be a stable, deterministic ordering column (e.g. the
@@ -78,57 +78,52 @@ def uniqueness_violations(df: DataFrame, key: str, ordinal: str,
     join from runtime stats (the safe choice when the duplicate rate may
     be pathological — a boilerplate-heavy corpus can have 10^8+
     duplicated keys, which would blow the driver if broadcast). "auto"
-    keeps the hint only when an HLL probe bounds the duplicate-key count
-    under broadcast_threshold_keys: `count - approx_count_distinct`
-    upper-bounds the number of duplicated KEYS (every dup key
-    contributes >= 1 extra occurrence), so the decision is conservative
-    in the safe direction. The probe is one near-pure scan with a
-    sketch merge — unlike the exact dup aggregate it carries no
-    41M-key shuffle, needs no persist/cache, and the exact aggregate
-    then runs INSIDE the fused main job, overlapping the other branch
-    stages.
+    keeps the hint only under a row-count probe capped at
+    broadcast_threshold_keys (one extra small action; the dup relation
+    is persisted so the main job reuses it), falling back to the AQE
+    path above the cap.
     """
-    # ONE map-side-combinable aggregate over the TRUE key computes the
-    # dup filter AND the first-occurrence ordinal together (count +
-    # min(ordinal) both partial-combine, so a hot key is pre-reduced on
-    # every core before the shuffle — never a per-key window, which
-    # would serialize each hot key into one reducer task). The earlier
-    # layered design (hashed dup-key set -> semi-join -> MIN aggregate
-    # over the subset -> second join) referenced the corpus subtree
-    # twice and needed a probe-time cache to avoid recomputing the dup
-    # aggregate; this single-aggregate shape scans the corpus exactly
-    # twice (agg + violation join), duplicates nothing, and caches
-    # nothing. Shuffle carries (key, ordinal) — ~2x the bytes of the
-    # old hashed-key shuffle on a mostly-unique corpus, in exchange for
-    # one less join layer and an exact (collision-free) first/dup
-    # attribution in a single pass.
+    # Dup detection shuffles xxhash64(key) — 8 bytes/key instead of the
+    # raw (often long) key strings, roughly halving shuffle volume on a
+    # mostly-unique corpus (the common case: partial aggregation cannot
+    # reduce unique keys, so the full key set crosses the wire). A hash
+    # collision only adds a unique-keyed row to the windowed subset,
+    # where the window over the TRUE key yields first==ordinal and the
+    # row is filtered — correctness is unaffected.
     kc = F.col(key)
-    g = (df.filter(kc.isNotNull())
-         .groupBy(kc.alias("_fk"))
-         .agg(F.count(F.lit(1)).alias("_cnt"), F.min(ordinal).alias("_first"))
-         .filter(F.col("_cnt") > 1)
-         .select("_fk", "_first"))
+    dups = (df.filter(kc.isNotNull())
+            .groupBy(F.xxhash64(kc).alias("_kh"))
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .filter(F.col("_cnt") > 1)
+            .select("_kh"))
     if broadcast == "auto":
-        # HLL probe: dup_keys <= count - distinct (each duplicated key
-        # contributes at least one extra occurrence). The 2-sigma margin
-        # on rsd keeps the bound conservative: an HLL UNDER-estimate of
-        # distinct only inflates the extras bound, pushing toward the
-        # safe (non-broadcast) side; the opposite tail (<2.5%) would
-        # need true extras within margin of the threshold, which itself
-        # has 2-4x driver-memory headroom. rsd=0.03 because HLL register
-        # count scales 1/rsd^2 — rsd=0.01 measured 4x slower than the
-        # whole exact aggregate. Column-pruned scan + sketch merge — no
-        # exact key shuffle, nothing persisted, no cache to leak.
-        rsd = 0.03
-        stats = (df.filter(kc.isNotNull())
-                 .agg(F.count(F.lit(1)).alias("_n"),
-                      F.approx_count_distinct(kc, rsd=rsd).alias("_d"))
-                 .collect()[0])
-        extras_upper = stats["_n"] - int(stats["_d"] * (1 - 2 * rsd))
-        broadcast = extras_upper <= broadcast_threshold_keys
+        dups = dups.persist()
+        # limit()+count probe: stops scanning the agg output past the cap
+        over = dups.limit(broadcast_threshold_keys + 1).count() > broadcast_threshold_keys
+        broadcast = not over
+        if persisted is not None:
+            # caller owns the release (after its main job consumes dups)
+            persisted.append(dups)
+        else:
+            # leak-free default on a long-lived session: drop the cache
+            # now — the plan stays valid, the main job just recomputes
+            # the (column-pruned) dup aggregate
+            dups.unpersist(blocking=False)
     if broadcast:
-        g = F.broadcast(g)
-    sub = (df.join(g, kc == F.col("_fk"), "inner").drop("_fk")
+        dups = F.broadcast(dups)
+    # semi-join the dup-hash set; resolve first-occurrence ordinals with
+    # a map-side-combinable MIN aggregate + broadcast join instead of a
+    # window: a window partitioned by key sorts, and a pathological hot
+    # key (every 'DUP' row) lands in ONE reducer task no matter how many
+    # executors exist — a serial tail that caps scaling. The aggregate
+    # partial-combines the hot key on every core before the (tiny,
+    # dup-keys-sized) shuffle.
+    sub = df.join(dups, F.xxhash64(kc) == F.col("_kh"), "inner").drop("_kh")
+    firsts = (sub.groupBy(kc.alias("_fk"))
+              .agg(F.min(ordinal).alias("_first")))
+    if broadcast:
+        firsts = F.broadcast(firsts)
+    sub = (sub.join(firsts, kc == F.col("_fk"), "inner").drop("_fk")
            .filter(F.col(ordinal) != F.col("_first")))
     viol = violation(
         pointer(key),
