@@ -573,6 +573,48 @@ def _q_embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "path", "code"))
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-data curation:
+    downweight boilerplate-heavy sources): md5(seed|doc_id) hex compared
+    against a per-source threshold — reproducible across runs, engines,
+    and cluster sizes; a pure narrow filter (no shuffle)."""
+    from goskema_spark.ops.sample import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    out = stratified_sample(docs, {"src0": 0.5, "src1": 0.1},
+                            strata_col="source", key_col="doc_id",
+                            default_rate=0.02)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"), "source")
+
+
+def _q_quota_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota: top-2 documents per source by n_chars
+    (deterministic tie-break on doc_id) — the per-group quota operator
+    with an exact two-phase salted variant for hot groups."""
+    from goskema_spark.ops.sample import top_k_per_group
+
+    docs = _docs(spark, sf_dir)
+    out = top_k_per_group(docs, "source", "n_chars", 2, "doc_id")
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "source",
+                      F.col("n_chars").cast("bigint").alias("n_chars"),
+                      F.col("rk").cast("int").alias("rk"))
+
+
+def _q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events table (30-min gap):
+    lag + running-sum session assignment on integer microseconds,
+    aggregated per session. Cross-validated in tests against Spark's
+    native session_window (the streaming path)."""
+    from goskema_spark.ops.sessionize import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sessionize(ev, user_col="user_id", ts_col="ts", gap_seconds=1800)
+    return out.select(F.col("user_id").cast("bigint").alias("user_id"),
+                      F.col("session_seq").cast("int").alias("session_seq"),
+                      "session_start", "session_end", "n_events", "sum_value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rowpass_violations": _q_rowpass,
@@ -603,6 +645,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contains_violations": _q_contains,
         "pattern_props_violations": _q_pattern_props,
         "embedded_resource_violations": _q_embedded,
+        "stratified_sample_docs": _q_stratified_sample,
+        "quota_top2_per_source": _q_quota_topk,
+        "sessionize_events": _q_sessions,
     }
 
 
@@ -682,6 +727,19 @@ _COS_SQL = """ROUND(
            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
   / (sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
    * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"""
+
+
+def _stratified_sample_sql() -> str:
+    """DuckDB twin of _q_stratified_sample — thresholds come from the
+    SAME _hex_threshold helper, so the hex compare is bit-identical."""
+    from goskema_spark.ops.sample import _hex_threshold
+
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM documents
+WHERE substr(md5('gsk|' || CAST(doc_id AS VARCHAR)), 1, 8) <
+  CASE WHEN source = 'src0' THEN '{_hex_threshold(0.5)}'
+       WHEN source = 'src1' THEN '{_hex_threshold(0.1)}'
+       ELSE '{_hex_threshold(0.02)}' END"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -779,6 +837,35 @@ WHERE target IS NOT NULL
   AND (CASE WHEN TRY_CAST(target AS BIGINT) IS NOT NULL THEN 1 ELSE 0 END)
     + (CASE WHEN lower(target) IN ('true','false') THEN 1 ELSE 0 END)
     + 1 <> 1""",
+        "stratified_sample_docs": _stratified_sample_sql(),
+        "quota_top2_per_source": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(n_chars AS BIGINT) AS n_chars, CAST(rk AS INTEGER) AS rk
+FROM (SELECT doc_id, source, n_chars,
+        ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id ASC) AS rk
+      FROM documents)
+WHERE rk <= 2""",
+        "sessionize_events": """
+WITH m AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts)
+               OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+         THEN 1 ELSE 0 END AS ns
+  FROM events),
+s AS (
+  SELECT user_id, ts, value,
+    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+  FROM m)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_seq AS INTEGER) AS session_seq,
+       MIN(ts) AS session_start,
+       make_timestamp(epoch_us(MAX(ts)) + 1800000000) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM s GROUP BY user_id, session_seq""",
         "embedded_resource_violations": """
 SELECT CAST(doc_id AS BIGINT) AS row_id, '/res/apiVersion' AS path,
        'required' AS code

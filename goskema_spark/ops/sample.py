@@ -1,0 +1,89 @@
+"""Deterministic corpus sampling + per-group quotas — the subsetting
+operators a training-data pipeline runs before/after validation
+(curation: downsample boilerplate-heavy sources, cap documents per
+domain, draw reproducible eval slices).
+
+Everything here is hash-deterministic (md5 over a seed|key string):
+the same (seed, key) always lands on the same side of the threshold, so
+samples are reproducible across runs, engines (the md5 hex compare is
+DuckDB-portable for the oracle), and cluster sizes — no RNG state, no
+`rand()` (which is per-task-seeded in Spark and NOT stable across
+re-planning/retries: a retried task would sample a different subset).
+
+Scale notes:
+- hash_sample / stratified_sample are pure narrow filters — they fuse
+  into the scan, shuffle nothing, and survive any corpus size.
+- top_k_per_group uses the standard row_number window; a hot group
+  serializes into one reducer task, so `salt` enables the two-phase
+  exact variant: per-(group, salt) top-k first (hot group split across
+  S reducers), then top-k of the k*S survivors — both phases exact,
+  output identical to the unsalted window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _hex_threshold(rate: float) -> str:
+    """rate in [0,1] -> 8-hex-digit threshold; a key is kept when the
+    first 8 hex chars of md5(seed|key) compare lexicographically below
+    it (lowercase hex compares identically in Spark and DuckDB)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"sample rate {rate} outside [0, 1]")
+    return format(min(int(rate * 16**8), 16**8 - 1), "08x")
+
+
+def sample_mark(key: Column, rate: float, seed: str = "gsk") -> Column:
+    """Boolean keep-mark for deterministic hash sampling."""
+    hx = F.substring(F.md5(F.concat(F.lit(seed + "|"), key.cast("string"))), 1, 8)
+    return hx < F.lit(_hex_threshold(rate))
+
+
+def hash_sample(df: DataFrame, rate: float, key_col: str = "doc_id",
+                seed: str = "gsk") -> DataFrame:
+    """Reproducible `rate`-fraction sample keyed on `key_col`. A narrow
+    filter (fuses into the scan; no shuffle)."""
+    return df.filter(sample_mark(F.col(key_col), rate, seed))
+
+
+def stratified_sample(df: DataFrame, rates: dict, strata_col: str = "source",
+                      key_col: str = "doc_id", default_rate: float = 0.0,
+                      seed: str = "gsk") -> DataFrame:
+    """Per-stratum sampling rates (e.g. downweight a boilerplate-heavy
+    source): rates maps stratum value -> rate; strata not listed use
+    default_rate. Still a pure narrow filter."""
+    hx = F.substring(F.md5(F.concat(F.lit(seed + "|"),
+                                    F.col(key_col).cast("string"))), 1, 8)
+    thr = F.lit(_hex_threshold(default_rate))
+    for val, rate in sorted(rates.items()):
+        thr = F.when(F.col(strata_col) == val,
+                     F.lit(_hex_threshold(rate))).otherwise(thr)
+    return df.filter(hx < thr)
+
+
+def top_k_per_group(df: DataFrame, group_col: str, order_col: str, k: int,
+                    tie_col: str, descending: bool = True,
+                    salt: int = 0) -> DataFrame:
+    """Exact top-k rows per group by (order_col, tie_col) — the
+    per-domain quality quota. Deterministic: ties break on `tie_col`
+    ascending.
+
+    salt=0: one row_number window per group (fine when no group is hot).
+    salt=S: two exact phases — top-k within (group, xxhash(tie) % S)
+    splits a hot group across S reducer tasks, then the final window
+    ranks only the <= k*S survivors per group. Output is IDENTICAL to
+    salt=0 (any true top-k row is also top-k within its salt bucket).
+    """
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    order = [oc, F.col(tie_col).asc()]
+    if salt > 0:
+        bucket = (F.xxhash64(F.col(tie_col).cast("string")) % salt).alias("_sb")
+        phase1 = (df.withColumn("_sb", bucket)
+                  .withColumn("_r1", F.row_number().over(
+                      Window.partitionBy(group_col, "_sb").orderBy(*order)))
+                  .filter(F.col("_r1") <= k).drop("_sb", "_r1"))
+        df = phase1
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k))
