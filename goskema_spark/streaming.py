@@ -92,6 +92,69 @@ def windowed_counts(stream_df: DataFrame, ts_col: str = "ts",
     )
 
 
+def streaming_unique_violations(stream_df: DataFrame, key_col: str = "doc_id",
+                                ordinal_col: str = "_ord") -> DataFrame:
+    """CROSS-micro-batch uniqueness with first-occurrence attribution —
+    the custom stateful operator (applyInPandasWithState) extending
+    rules.UniqueBy (reference rules/rules.go:104-137) to unbounded
+    streams. Per-batch validate() only sees duplicates WITHIN one
+    micro-batch and dedup_stream silently drops rows; this keeps
+    (first_ordinal, count) state per key and EMITS a `uniqueness`
+    violation row for every non-first occurrence, whichever micro-batch
+    it arrives in.
+
+    Attribution semantics: `first` is the smallest ordinal seen SO FAR —
+    identical to the batch result when ordinals arrive non-decreasing
+    (the normal append-log case). A late-arriving smaller ordinal is
+    itself flagged against the stored first (deterministic, documented
+    divergence from a global batch sort — exact late handling would
+    need per-key ordinal retention, unbounded state).
+
+    State: two longs per distinct key — bounded by the key cardinality,
+    the same footprint class as dropDuplicates state. Output mode
+    'update' (violations append-only per trigger)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_t = T.StructType([
+        T.StructField(key_col, T.StringType()),
+        T.StructField("dup_ord", T.LongType()),
+        T.StructField("first_ord", T.LongType()),
+        T.StructField("code", T.StringType()),
+    ])
+    state_t = T.StructType([T.StructField("first", T.LongType()),
+                            T.StructField("cnt", T.LongType())])
+
+    def track(key, pdfs, state):
+        import pandas as pd
+
+        ords = []
+        for pdf in pdfs:
+            ords.extend(int(o) for o in pdf[ordinal_col].dropna())
+        ords.sort()
+        if state.exists:
+            first, cnt = state.get
+        else:
+            first, cnt = None, 0
+        rows = []
+        for o in ords:
+            if first is None:
+                first = o
+            elif o != first:
+                rows.append((key[0], o, first, "uniqueness"))
+            cnt += 1
+        state.update((first, cnt))
+        yield pd.DataFrame(rows, columns=[key_col, "dup_ord", "first_ord", "code"])
+
+    return (stream_df
+            .select(F.col(key_col).cast("string").alias(key_col),
+                    F.col(ordinal_col))
+            .filter(F.col(key_col).isNotNull())
+            .groupBy(key_col)
+            .applyInPandasWithState(track, out_t, state_t, "update",
+                                    GroupStateTimeout.NoTimeout))
+
+
 def dedup_stream(stream_df: DataFrame, key: str = "doc_id",
                  ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
     """Streaming uniqueness: exactly-once KEYS within the watermark

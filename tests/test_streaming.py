@@ -156,3 +156,51 @@ def test_stream_sink_idempotent_under_batch_replay(spark):
         assert a == b
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_unique_violations_cross_batch(spark):
+    """applyInPandasWithState stateful operator: duplicates that SPAN
+    micro-batches are flagged with the first-occurrence ordinal from an
+    EARLIER batch — the case per-batch validate() cannot see. With
+    ordinals arriving in order, the flagged set equals the batch
+    uniqueness result."""
+    from pyspark.sql import types as T
+    from goskema_spark.streaming import streaming_unique_violations
+    from goskema_spark.uniqueness import uniqueness_violations
+
+    tmp = tempfile.mkdtemp()
+    try:
+        schema_t = T.StructType([T.StructField("doc_id", T.StringType()),
+                                 T.StructField("_ord", T.LongType())])
+        batch1 = [("a", 0), ("b", 1), ("DUP", 2), ("c", 3), ("DUP", 4)]
+        batch2 = [("d", 10), ("DUP", 11), ("b", 12), ("e", 13)]
+        spark.createDataFrame(batch1, schema_t).coalesce(1) \
+            .write.parquet(f"{tmp}/in/b1")
+        spark.createDataFrame(batch2, schema_t).coalesce(1) \
+            .write.parquet(f"{tmp}/in/b2")
+
+        stream = (spark.readStream.schema(schema_t)
+                  .option("maxFilesPerTrigger", "1")
+                  .option("recursiveFileLookup", "true")
+                  .parquet(f"{tmp}/in"))
+        q = (streaming_unique_violations(stream)
+             .writeStream.format("memory").queryName("uniq_state")
+             .outputMode("update")
+             .option("checkpointLocation", f"{tmp}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        got = {(r["doc_id"], r["dup_ord"], r["first_ord"])
+               for r in spark.sql("select * from uniq_state").collect()}
+        # cross-batch: DUP@11 attributes to first_ord=2 (batch 1);
+        # b@12 attributes to b@1 — neither visible to per-batch checks
+        assert ("DUP", 11, 2) in got and ("b", 12, 1) in got
+
+        # equals the batch uniqueness result on the full data
+        full = spark.createDataFrame(batch1 + batch2, schema_t)
+        ref = {(r["params"]["key"], int(r["params"]["dup"]),
+                int(r["params"]["first"]))
+               for r in uniqueness_violations(
+                   full, "doc_id", "_ord", F.col("doc_id")).collect()}
+        assert got == ref
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
