@@ -68,6 +68,24 @@ def test_rowpass_no_python_and_codegen(spark):
         assert "*(" in plan, "row pass should have codegen'd stages"
 
 
+def test_gate_projection_boundary(spark):
+    """The violation gate (OR of all check conditions) must survive in
+    its OWN projection after optimization: if CollapseProject ever
+    re-inlines it into the HOF build projection, the whole projection —
+    gate included — falls back to interpreted eval and clean rows pay
+    the full check-condition re-evaluation again (the r3 rowpass
+    regression)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        df = _corpus_parquet(spark, tmp)
+        ann, _, _ = validate_rows(df, corpus_schema(), row_id_col())
+        opt = ann._jdf.queryExecution().optimizedPlan().toString()
+        assert "AS _gsk_dirty" in opt, "gate column collapsed away"
+        # defined once, referenced by the guarded violations expression
+        assert opt.count("_gsk_dirty") >= 3, opt[:500]
+        # and the output schema must not leak the internal column
+        assert "_gsk_dirty" not in ann.columns
+
+
 def test_uniqueness_is_two_stage_agg(spark):
     """The duplicate-key aggregate must show partial aggregation
     (map-side combine) before the exchange."""
