@@ -228,8 +228,28 @@ def _conform(v, f, path: str, issues: list, allow_nan: bool = False):
         # every undeclared key; strip/passthrough drop them from the
         # typed struct (nested passthrough targets are not representable
         # in a fixed struct column — documented limitation)
+        unknown_keys = sorted(k for k in v if k not in declared)
+        if dt.unknown_key_patterns:
+            # pattern-matched keys are NOT 'additional' (JSON Schema):
+            # validate against the pattern's value spec, exempt from the
+            # unknown policy, then drop (no fixed struct slot)
+            import re as _re
+            from dataclasses import replace as _replace
+            rest = []
+            for k in unknown_keys:
+                matched = [pf for pat, pf in dt.unknown_key_patterns
+                           if _re.search(pat, k)]
+                if not matched:
+                    rest.append(k)
+                    continue
+                for pf in matched:
+                    if pf is not None:
+                        _conform(v[k], _replace(pf, name=k),
+                                 f"{path}/{escape_pointer_token(k)}",
+                                 issues, allow_nan)
+            unknown_keys = rest
         if dt.unknown == "strict":
-            for k in sorted(k for k in v if k not in declared):
+            for k in unknown_keys:
                 _issue(issues, f"{path}/{escape_pointer_token(k)}",
                        Codes.UNKNOWN_KEY, "unknown_strict")
         elif dt.unknown == "schema" and dt.ap_field is not None:
@@ -237,7 +257,7 @@ def _conform(v, f, path: str, issues: list, allow_nan: bool = False):
             # against the value spec (issues at their path), then drop
             # from the fixed struct (beyond the reference MVP warn+prune)
             from dataclasses import replace
-            for k in sorted(k for k in v if k not in declared):
+            for k in unknown_keys:
                 _conform(v[k], replace(dt.ap_field, name=k),
                          f"{path}/{escape_pointer_token(k)}", issues, allow_nan)
         return {sf.name: (_conform(v[sf.name], sf,
@@ -270,6 +290,24 @@ def parse_document(payload: str, schema: TableSchema, opts: ParseOpts):
     # unknown-key policy (types.go:4-10), sorted for deterministic order
     # (reference api_error_model_test.go:49-71)
     unknown = sorted(k for k in tree if k not in declared)
+    if schema.unknown_key_patterns:
+        # pattern-matched keys are exempt from the unknown policy and
+        # validate against their pattern's value spec (see _conform)
+        import re as _re
+        from dataclasses import replace as _replace
+        rest = []
+        for k in unknown:
+            matched = [pf for pat, pf in schema.unknown_key_patterns
+                       if _re.search(pat, k)]
+            if not matched:
+                rest.append(k)
+                continue
+            for pf in matched:
+                if pf is not None:
+                    _conform(tree[k], _replace(pf, name=k),
+                             f"/{escape_pointer_token(k)}", issues,
+                             opts.allow_nan)
+        unknown = rest
     passthrough = {}
     for k in unknown:
         if schema.unknown == "strict":

@@ -362,12 +362,16 @@ def _pattern_map_field(name: str, ps: dict, required: bool,
     # additionalProperties schema type, when declared), else string
     # (reference picks MapAny there, plan.go:85-100)
     uniq = {t for t in types if t is not None}
-    if len(uniq) == 1 and len(uniq) == len(types) and \
+    # common type = every pattern declares the SAME scalar type (any
+    # number of patterns) and additionalProperties (when a schema)
+    # agrees — `None not in types`, not a pattern-count check, which
+    # wrongly degraded two same-typed patterns to map<string,string>
+    if len(uniq) == 1 and None not in types and \
             (ap_type is None or ap_type in uniq):
         vt = _SCALARS[next(iter(uniq))]
     else:
         vt = "string"
-        if len(uniq) > 1:
+        if len(uniq) > 1 or (uniq and None in types):
             warns.append(f"patternProperties on {name!r} with heterogeneous "
                          "value schemas treated as map<string,string>")
     # key enforcement unless additionalProperties permits unmatched keys
@@ -472,6 +476,18 @@ def _import_object(doc: dict, warns: list,
             if known:
                 fld.anyof_branches = branches
                 fld.anyof_ambiguity = ambiguity
+                for b in branches:
+                    t2 = b.get("type")
+                    if t2 and not field_is_object and \
+                            t2 not in ("integer", "number", "boolean", "string"):
+                        # unscorable branch -> always-matching indicator,
+                        # which under 'error' flags EVERY non-null value
+                        # ambiguous — surface the diagnostic (the warn
+                        # was lost in the r4 move to field-level compile)
+                        warns.append(
+                            f"anyOf on {name!r}: branch type {t2!r} not "
+                            "scorable; treated as always-matching (every "
+                            "present value will count it as a match)")
                 if ambiguity == "error":
                     # documented columnar divergence (union_ambiguity.go
                     # valueMatchesType checks the WIRE type; a physical
@@ -487,7 +503,27 @@ def _import_object(doc: dict, warns: list,
                         "reference valueMatchesType; use ingest-time "
                         "wire-type bits for exact parity)")
         fields.append(fld)
+    # patternProperties ALONGSIDE declared properties: JSON Schema says a
+    # pattern-matched key is NOT 'additional', so it must be exempt from
+    # the unknown policy (previously such keys were silently flagged
+    # unknown_key under additionalProperties: false) and validate
+    # against the pattern's value schema
+    ukp = None
+    ppm = doc.get("patternProperties")
+    if fields and isinstance(ppm, dict) and ppm:
+        ukp = []
+        for pat, psch in sorted(ppm.items()):
+            t2 = psch.get("type") if isinstance(psch, dict) else None
+            if t2 in _SCALARS:
+                ukp.append((pat, _scalar_field("_pp", psch, False, warns)))
+            else:
+                if t2 is not None:
+                    warns.append(f"patternProperties {pat!r}: value type "
+                                 f"{t2!r} not scorable columnarly; "
+                                 "presence-only for matched keys")
+                ukp.append((pat, None))
     return TableSchema(fields=fields, unknown=unknown, ap_field=ap_field,
+                       unknown_key_patterns=ukp,
                        passthrough_target=target)
 
 

@@ -10,6 +10,13 @@ follows FIXTURES.md F4:
   source VALUE, so it is identical across batches, resumes, and cluster
   sizes; ledger identity remains the source column itself)
 
+Format note: this is ledger format v2 (partition_id bigint). A v1
+ledger directory (int32 per-invocation dense ranks) must be migrated
+ONCE before appending — mixed int32/int64 parquet files in one
+directory do not read back:
+  spark.read.parquet(v1).withColumn("partition_id",
+      F.xxhash64(part_key_col("source"))).write.parquet(v2)
+
 Protocol:
   - logical partitions = distinct values of the partition column
     (`source`): stable across cluster sizes and re-planning, unlike

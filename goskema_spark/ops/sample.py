@@ -26,12 +26,17 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _hex_threshold(rate: float) -> str:
-    """rate in [0,1] -> 8-hex-digit threshold; a key is kept when the
-    first 8 hex chars of md5(seed|key) compare lexicographically below
-    it (lowercase hex compares identically in Spark and DuckDB)."""
+    """rate in [0,1] -> threshold string; a key is kept when the first 8
+    hex chars of md5(seed|key) compare lexicographically below it
+    (lowercase hex compares identically in Spark and DuckDB). rate=1.0
+    returns 'g' — above every hex digit, so EVERY key is kept (clamping
+    to 'ffffffff' would deterministically drop the ~2^-32 of keys whose
+    prefix is exactly the max, a real loss at 10^9+ rows)."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"sample rate {rate} outside [0, 1]")
-    return format(min(int(rate * 16**8), 16**8 - 1), "08x")
+    if rate >= 1.0:
+        return "g"
+    return format(int(rate * 16**8), "08x")
 
 
 def sample_mark(key: Column, rate: float, seed: str = "gsk") -> Column:

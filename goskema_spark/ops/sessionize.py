@@ -45,10 +45,12 @@ def with_session_id(events: DataFrame, user_col: str = "user_id",
 
 
 def sessionize(events: DataFrame, user_col: str = "user_id",
-               ts_col: str = "ts", gap_seconds: int = 1800) -> DataFrame:
+               ts_col: str = "ts", gap_seconds: int = 1800,
+               value_col: str = "value") -> DataFrame:
     """Per-session aggregate: (user, session_seq, session_start,
     session_end, n_events, sum_value). session_end = last event + gap,
-    matching session_window's window.end."""
+    matching session_window's window.end. value_col names the summed
+    measure (output column stays `sum_value`)."""
     ts = F.col(ts_col).cast("timestamp")
     marked = with_session_id(events.withColumn(ts_col, ts), user_col,
                              ts_col, gap_seconds)
@@ -58,12 +60,12 @@ def sessionize(events: DataFrame, user_col: str = "user_id",
                      F.unix_micros(F.max(ts_col)) + gap_seconds * 1_000_000)
                  .alias("session_end"),
                  F.count(F.lit(1)).cast("bigint").alias("n_events"),
-                 F.round(F.sum("value"), 6).alias("sum_value")))
+                 F.round(F.sum(value_col), 6).alias("sum_value")))
 
 
 def session_window_counts(events: DataFrame, user_col: str = "user_id",
-                          ts_col: str = "ts",
-                          gap: str = "30 minutes") -> DataFrame:
+                          ts_col: str = "ts", gap: str = "30 minutes",
+                          value_col: str = "value") -> DataFrame:
     """The same aggregate via Spark's NATIVE session_window — works on a
     batch DataFrame and, with a watermark, on a stream (state evicted
     past the watermark; the streaming path for this operator). Returns
@@ -73,7 +75,7 @@ def session_window_counts(events: DataFrame, user_col: str = "user_id",
             .groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
                      F.col(user_col))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
-                 F.round(F.sum("value"), 6).alias("sum_value"))
+                 F.round(F.sum(value_col), 6).alias("sum_value"))
             .select(user_col, F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_end"),
                     "n_events", "sum_value"))

@@ -148,6 +148,8 @@ def compile_checks(schema: TableSchema, df: DataFrame) -> CompiledChecks:
     if schema.passthrough_target:
         declared.add(schema.passthrough_target)
     unknown = sorted(c for c in df.columns if c not in declared and not c.startswith("_"))
+    unknown = _compile_pattern_keys(out, schema, unknown,
+                                    lambda c: (F.col(c), pointer(c), phys.get(c)))
     if schema.unknown == "strict":
         for c in unknown:
             out.add(F.lit(True), pointer(c), Codes.UNKNOWN_KEY, rule="unknown_strict")
@@ -292,6 +294,31 @@ def _compile_field(out: CompiledChecks, f: Field, col: Column, p, phys_type):
             out.add(cond, pk, code, rule="embedded_resource", message=msg)
 
 
+def _compile_pattern_keys(out: CompiledChecks, schema: TableSchema,
+                          unknown: list, bind) -> list:
+    """patternProperties ALONGSIDE declared properties (JSON Schema: a
+    pattern-matched key is NOT 'additional'): pull pattern-matching
+    names out of the unknown set and validate them against the
+    pattern's value Field. Returns the remaining unknown names. `bind`
+    maps a name -> (column, pointer, phys_type)."""
+    pats = schema.unknown_key_patterns or []
+    if not pats:
+        return unknown
+    import re
+    from dataclasses import replace
+    rest = []
+    for c in unknown:
+        matched = [pf for pat, pf in pats if re.search(pat, c)]
+        if not matched:
+            rest.append(c)
+            continue
+        col, ptr, phys = bind(c)
+        for pf in matched:  # all matching patterns apply (JSON Schema)
+            if pf is not None:
+                _compile_field(out, replace(pf, name=c), col, ptr, phys)
+    return rest
+
+
 def _compile_object(sub: CompiledChecks, sub_schema: TableSchema, col: Column,
                     p, phys_struct) -> None:
     """Compile an object schema's checks against a struct-valued Column
@@ -299,18 +326,21 @@ def _compile_object(sub: CompiledChecks, sub_schema: TableSchema, col: Column,
     Caller gates the result on the struct being present."""
     child_types = {sf.name: sf.dataType for sf in phys_struct.fields}
     declared = set(sub_schema.field_names())
+    unknown = sorted(n for n in set(child_types) - declared
+                     if not n.startswith("_"))
+    unknown = _compile_pattern_keys(
+        sub, sub_schema, unknown,
+        lambda n: (col.getField(n), _pjoin(p, pointer(n)), child_types[n]))
     if sub_schema.unknown == "strict":
-        for name in sorted(set(child_types) - declared):
-            if not name.startswith("_"):
-                sub.add(F.lit(True), _pjoin(p, pointer(name)), Codes.UNKNOWN_KEY,
-                        rule="unknown_strict")
+        for name in unknown:
+            sub.add(F.lit(True), _pjoin(p, pointer(name)), Codes.UNKNOWN_KEY,
+                    rule="unknown_strict")
     elif sub_schema.unknown == "schema" and sub_schema.ap_field is not None:
         from dataclasses import replace
-        for name in sorted(set(child_types) - declared):
-            if not name.startswith("_"):
-                _compile_field(sub, replace(sub_schema.ap_field, name=name),
-                               col.getField(name), _pjoin(p, pointer(name)),
-                               child_types[name])
+        for name in unknown:
+            _compile_field(sub, replace(sub_schema.ap_field, name=name),
+                           col.getField(name), _pjoin(p, pointer(name)),
+                           child_types[name])
     for cf in sorted(sub_schema.fields, key=lambda x: x.name):
         cp = _pjoin(p, pointer(cf.name))
         if cf.name not in child_types:
@@ -972,14 +1002,20 @@ def with_violations(df: DataFrame, schema: TableSchema,
     if gate is None:
         # some array check has no cheap gate: every row builds anyway
         return df.withColumn(violations_col, body)
-    d = F.col("_gsk_dirty")
+    # collision-proof internal name: the input may legitimately carry
+    # underscore columns (they are exempt from unknown-key checks), so
+    # never overwrite one that happens to be called _gsk_dirty
+    gname = "_gsk_dirty"
+    while gname in df.columns:
+        gname += "_"
+    d = F.col(gname)
     # d is referenced twice and is non-trivial to re-inline, so
     # CollapseProject preserves the projection boundary; null gate (no
     # check could evaluate) reads as clean, matching _maybe() semantics
     guarded = F.when(d, body).otherwise(F.when(d.isNull() | ~d, empty))
-    return (df.withColumn("_gsk_dirty", gate)
+    return (df.withColumn(gname, gate)
             .withColumn(violations_col, guarded)
-            .drop("_gsk_dirty"))
+            .drop(gname))
 
 
 def explode_violations(df: DataFrame, row_id: Column,

@@ -251,6 +251,11 @@ class TableSchema:
     # and prunes, kubeopenapi.go:157-160)
     unknown: str = "strict"
     ap_field: Optional[Field] = None  # value spec for unknown='schema'
+    # patternProperties ALONGSIDE declared properties (JSON Schema: a
+    # key matching a pattern is NOT 'additional'): unknown keys matching
+    # a pattern are exempt from the unknown policy and validate against
+    # the pattern's value Field (None = presence only)
+    unknown_key_patterns: Optional[list] = None  # [(regex, Field | None)]
     passthrough_target: Optional[str] = None
     refinements: list = dc_field(default_factory=list)
     or_refinements: list = dc_field(default_factory=list)

@@ -103,14 +103,15 @@ def streaming_unique_violations(stream_df: DataFrame, key_col: str = "doc_id",
     violation row for every non-first occurrence, whichever micro-batch
     it arrives in.
 
-    Attribution semantics: `first` is the smallest ordinal seen SO FAR —
+    Attribution semantics: `first` is the FIRST-SEEN ordinal (the
+    minimum of the key's first micro-batch; never lowered afterwards) —
     identical to the batch result when ordinals arrive non-decreasing
     (the normal append-log case). A late-arriving smaller ordinal is
     itself flagged against the stored first (deterministic, documented
     divergence from a global batch sort — exact late handling would
     need per-key ordinal retention, unbounded state).
 
-    State: two longs per distinct key — bounded by the key cardinality,
+    State: ONE long per distinct key — bounded by the key cardinality,
     the same footprint class as dropDuplicates state. Output mode
     'update' (violations append-only per trigger)."""
     from pyspark.sql import types as T
@@ -122,8 +123,7 @@ def streaming_unique_violations(stream_df: DataFrame, key_col: str = "doc_id",
         T.StructField("first_ord", T.LongType()),
         T.StructField("code", T.StringType()),
     ])
-    state_t = T.StructType([T.StructField("first", T.LongType()),
-                            T.StructField("cnt", T.LongType())])
+    state_t = T.StructType([T.StructField("first", T.LongType())])
 
     def track(key, pdfs, state):
         import pandas as pd
@@ -132,18 +132,15 @@ def streaming_unique_violations(stream_df: DataFrame, key_col: str = "doc_id",
         for pdf in pdfs:
             ords.extend(int(o) for o in pdf[ordinal_col].dropna())
         ords.sort()
-        if state.exists:
-            first, cnt = state.get
-        else:
-            first, cnt = None, 0
+        first = state.get[0] if state.exists else None
         rows = []
         for o in ords:
             if first is None:
                 first = o
             elif o != first:
                 rows.append((key[0], o, first, "uniqueness"))
-            cnt += 1
-        state.update((first, cnt))
+        if first is not None:  # all-null ordinals: nothing to remember
+            state.update((first,))
         yield pd.DataFrame(rows, columns=[key_col, "dup_ord", "first_ord", "code"])
 
     return (stream_df

@@ -584,3 +584,70 @@ def test_import_does_not_mutate_caller_document():
     snapshot = _copy.deepcopy(doc)
     import_openapi(doc)
     assert doc == snapshot
+
+
+def test_pattern_properties_alongside_properties(spark):
+    """JSON Schema: a key matching patternProperties is NOT 'additional'
+    — on an object that ALSO declares properties with
+    additionalProperties: false, pattern-matched keys must be exempt
+    from unknown_key and validate against the pattern's value schema
+    (code-review r4 finding: they were silently flagged unknown_key)."""
+    sch, warns = import_openapi({
+        "type": "object",
+        "properties": {"name": {"type": "string"}},
+        "patternProperties": {"^x_": {"type": "integer"}},
+        "additionalProperties": False,
+        "required": ["name"],
+    })
+    assert sch.unknown == "strict" and sch.unknown_key_patterns
+
+    df = spark.createDataFrame(
+        [("a", "12", None), ("b", "zz", None), ("c", None, "v")],
+        T.StructType([T.StructField("name", T.StringType()),
+                      T.StructField("x_n", T.StringType()),
+                      T.StructField("rogue", T.StringType())]))
+    _, viols, _ = validate_rows(df, sch, F.col("name"))
+    got = {(r["row_id"], r["path"], r["code"]) for r in viols.collect()}
+    # x_n is pattern-matched: NOT unknown_key; bad value -> invalid_type;
+    # rogue matches nothing -> unknown_key (every row: column-level)
+    assert ("a", "/x_n", "unknown_key") not in got
+    assert ("b", "/x_n", "invalid_type") in got
+    assert all((rid, "/rogue", "unknown_key") in got for rid in ("a", "b", "c"))
+
+    # same exemption on JSON ingest
+    docs = ['{"name":"a","x_n":3}', '{"name":"b","x_n":"zz"}',
+            '{"name":"c","rogue":1}']
+    jdf = spark.createDataFrame([(d,) for d in docs], T.StructType(
+        [T.StructField("payload", T.StringType(), False)]))
+    igot = {(r["name"], i["path"], i["code"])
+            for r in ingest_json(jdf, sch).collect()
+            for i in r["_ingest_violations"]}
+    assert igot == {("b", "/x_n", "invalid_type"),
+                    ("c", "/rogue", "unknown_key")}
+
+
+def test_pattern_properties_common_type_multi_pattern():
+    """Two patterns sharing ONE scalar type keep the typed map value
+    (code-review r4 finding: the old pattern-count check degraded any
+    multi-pattern schema to map<string,string>)."""
+    sch, warns = import_openapi({
+        "type": "object",
+        "properties": {
+            "m": {"type": "object",
+                  "patternProperties": {"^a_": {"type": "integer"},
+                                        "^b_": {"type": "integer"}}},
+        },
+    })
+    spec = {f.name: f for f in sch.fields}["m"].dtype
+    assert isinstance(spec, MapSpec) and spec.value == "int64"
+    # a typed + an untyped pattern still degrades, now WITH a warning
+    sch2, warns2 = import_openapi({
+        "type": "object",
+        "properties": {
+            "m": {"type": "object",
+                  "patternProperties": {"^a_": {"type": "integer"},
+                                        "^b_": {}}},
+        },
+    })
+    assert {f.name: f for f in sch2.fields}["m"].dtype.value == "string"
+    assert any("heterogeneous" in w for w in warns2)
