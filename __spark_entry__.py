@@ -705,7 +705,7 @@ def _minhash_sql() -> str:
 _TEXT_PROFILE_SQL = f"""
 WITH t AS (
   SELECT doc_id, text, string_split(text, ' ') AS ws,
-    len(list_filter(string_split(text, ' '), x -> x IN {_STOP_IN}))
+    len(list_filter(string_split(text, ' '), x -> lower(x) IN {_STOP_IN}))
       / greatest(len(string_split(text, ' ')), 1) AS swr,
     length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
       / greatest(length(text), 1) AS pr

@@ -68,13 +68,26 @@ def get_codec(name: str) -> ColumnCodec:
 
 register_codec(ColumnCodec(
     name="rfc3339", wire_type="string", domain_type="timestamp",
-    decode=lambda c: F.try_to_timestamp(c),
+    # explicit RFC3339 pattern, NOT bare try_to_timestamp: the bare form
+    # accepts '2024-01-02' / '2024-01-02 03:04:05' (no T, no offset),
+    # which the ingest-path format_rfc3339 check rejects — the codec and
+    # ingest must agree on what counts as valid wire format
+    decode=lambda c: F.coalesce(
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX"))),
     encode=lambda c: F.date_format(c, "yyyy-MM-dd'T'HH:mm:ssXXX"),
 ))
 
+# timestamp_millis overflows (ArithmeticException, not null) when
+# millis*1000 exceeds long range — clamp to the representable window so
+# garbage epochs null out as invalid_format like every other bad wire
+# value (the ANSI null-out rule)
+_EPOCH_MS_MAX = (2**63 - 1) // 1000
+
 register_codec(ColumnCodec(
     name="epoch_millis", wire_type="bigint", domain_type="timestamp",
-    decode=lambda c: F.timestamp_millis(c.cast("bigint")),
+    decode=lambda c: F.timestamp_millis(
+        F.when(F.abs(c.cast("bigint")) <= _EPOCH_MS_MAX, c.cast("bigint"))),
     encode=lambda c: F.unix_millis(c),
 ))
 

@@ -27,11 +27,16 @@ def histogram(df: DataFrame, column: str, lo: float, hi: float,
               buckets: int = DEFAULT_BUCKETS) -> DataFrame:
     """Equal-width histogram: (bucket, bucket_lo, bucket_hi, cnt).
     Bucket 0 catches < lo, bucket `buckets+1` catches >= hi
-    (width_bucket semantics); null values are dropped."""
+    (width_bucket semantics); null AND NaN values are dropped — NaN
+    width_buckets to NULL, and a NULL bucket key never matches in the
+    PSI/KS full-outer join, so keeping it would distort both sides'
+    distributions (each side's NaN row would count in the total but in
+    no bucket)."""
     width = (hi - lo) / buckets
-    b = F.width_bucket(F.col(column).cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(buckets))
+    cd = F.col(column).cast("double")
+    b = F.width_bucket(cd, F.lit(float(lo)), F.lit(float(hi)), F.lit(buckets))
     return (
-        df.filter(F.col(column).isNotNull())
+        df.filter(F.col(column).isNotNull() & ~F.isnan(cd))
         .groupBy(b.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("bucket_lo", (F.lit(lo) + (F.col("bucket") - 1) * F.lit(width)).cast("double"))

@@ -25,7 +25,13 @@ from typing import Iterator, Optional
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from goskema_spark.issues import Codes, escape_pointer_token, message_for
-from goskema_spark.schema import ArraySpec, Field, MapSpec, TableSchema
+from goskema_spark.schema import (
+    INT_RANGES,
+    ArraySpec,
+    Field,
+    MapSpec,
+    TableSchema,
+)
 
 PRESENCE_SEEN = 1
 PRESENCE_WAS_NULL = 2
@@ -95,6 +101,7 @@ def _walk(node, path: str, depth: int, opts: ParseOpts, issues: list,
 
 
 _INT_DTYPES = {"int8", "int16", "int32", "int", "int64", "long"}
+_INT_ALIAS = {"int": "int32", "long": "int64"}  # physical column widths
 _FLOAT_DTYPES = {"double", "float"}
 
 
@@ -118,24 +125,35 @@ def _conform_scalar(v, dtype: str, path: str, issues: list, allow_nan: bool = Fa
         if isinstance(v, bool):
             return v
     elif dtype in _INT_DTYPES:
+        def _ranged(i):
+            # sized-int guard at the WIRE (reference dsl/primitives.go:
+            # 598-637): an out-of-range value must become overflow +
+            # null, never reach the typed Arrow column where the
+            # pandas->Arrow cast silently WRAPS (or kills the batch
+            # under convertToArrowArraySafely)
+            lo, hi = INT_RANGES[_INT_ALIAS.get(dtype, dtype)]
+            if lo <= i <= hi:
+                return i
+            _issue(issues, path, Codes.OVERFLOW, f"int_range_{dtype}")
+            return None
         if isinstance(v, bool):
             pass  # JSON true/false is not a number
         elif isinstance(v, int):
-            return v
+            return _ranged(v)
         elif isinstance(v, float):
             import math
             if not math.isfinite(v):
                 _issue(issues, path, Codes.INVALID_TYPE, "type")
                 return None
             if v.is_integer():
-                return int(v)
+                return _ranged(int(v))
             _issue(issues, path, Codes.OVERFLOW, "int_fraction",
                    "fractional part not allowed")
             return None
         elif isinstance(v, str):
             # number coercion from string (reference dsl/primitives.go:180-205)
             try:
-                return int(v)
+                return _ranged(int(v))
             except ValueError:
                 try:
                     fv = float(v)
@@ -143,7 +161,7 @@ def _conform_scalar(v, dtype: str, path: str, issues: list, allow_nan: bool = Fa
                     pass
                 else:
                     if fv.is_integer():
-                        return int(fv)
+                        return _ranged(int(fv))
                     _issue(issues, path, Codes.OVERFLOW, "int_fraction",
                            "fractional part not allowed")
                     return None
@@ -183,6 +201,36 @@ def _conform_scalar(v, dtype: str, path: str, issues: list, allow_nan: bool = Fa
             return bytes(v)
         if isinstance(v, str):
             return v.encode("utf-8")
+    elif isinstance(dtype, str) and dtype.startswith("decimal"):
+        # NumberDecimal wire conform (mirrors the columnar checks in
+        # rowpass: type_decimal / decimal_scale / decimal_range) — the
+        # dtype is first-class in schema.py, so ingest must produce a
+        # Decimal for the DecimalType column, not fall through to
+        # invalid_type on every value
+        import decimal as _dec
+        from goskema_spark.schema import parse_decimal
+        prec, scale = parse_decimal(dtype)
+        if isinstance(v, bool) or not isinstance(v, (int, float, str)):
+            _issue(issues, path, Codes.INVALID_TYPE, "type_decimal")
+            return None
+        try:
+            d = _dec.Decimal(str(v))
+        except _dec.InvalidOperation:
+            _issue(issues, path, Codes.INVALID_TYPE, "type_decimal")
+            return None
+        if not d.is_finite():
+            _issue(issues, path, Codes.INVALID_TYPE, "type_decimal")
+            return None
+        q = d.quantize(_dec.Decimal(1).scaleb(-scale),
+                       rounding=_dec.ROUND_HALF_UP)
+        if q != d:
+            # Spark's cast would silently round — flag the lossy value
+            _issue(issues, path, Codes.OVERFLOW, "decimal_scale",
+                   "fractional digits exceed declared scale")
+        if len(q.as_tuple().digits) > prec and q != 0:
+            _issue(issues, path, Codes.OVERFLOW, "decimal_range")
+            return None
+        return q
     _issue(issues, path, Codes.INVALID_TYPE, "type")
     return None
 
@@ -260,10 +308,13 @@ def _conform(v, f, path: str, issues: list, allow_nan: bool = False):
             for k in unknown_keys:
                 _conform(v[k], replace(dt.ap_field, name=k),
                          f"{path}/{escape_pointer_token(k)}", issues, allow_nan)
+        # missing nested field: materialize its declared default (the
+        # rowpass skips `required` when a default exists, so dropping
+        # the default here would silently null the value with no issue)
         return {sf.name: (_conform(v[sf.name], sf,
                                    f"{path}/{escape_pointer_token(sf.name)}",
                                    issues, allow_nan)
-                          if sf.name in v else None)
+                          if sf.name in v else sf.default)
                 for sf in dt.fields}
     return _conform_scalar(v, dt, path, issues, allow_nan)
 
@@ -376,7 +427,26 @@ def encode_preserving(values: dict, presence: dict, schema: TableSchema) -> str:
         if not bits & PRESENCE_SEEN:
             continue  # never present: stay missing
         out[f.name] = values.get(f.name)
-    return json.dumps(out, separators=(",", ":"), sort_keys=True)
+    return json.dumps(out, separators=(",", ":"), sort_keys=True,
+                      default=_json_default)
+
+
+def _json_default(v):
+    """Wire-format renderers for conformed non-JSON types — without
+    this, any present timestamp/date/binary/decimal field crashed the
+    whole mapInPandas batch with 'not JSON serializable'."""
+    import datetime as _dtm
+    import decimal as _dec
+    if isinstance(v, _dtm.datetime):
+        return v.isoformat().replace("+00:00", "Z")
+    if isinstance(v, _dtm.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        import base64
+        return base64.b64encode(bytes(v)).decode("ascii")
+    if isinstance(v, _dec.Decimal):
+        return str(v)
+    raise TypeError(f"not JSON serializable: {type(v).__name__}")
 
 
 def _ingest_type(f) -> T.DataType:

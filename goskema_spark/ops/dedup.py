@@ -213,8 +213,19 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", bits: int = SIMHASH_BITS,
                        max_hamming: int = 3, band_bits: int = 4) -> DataFrame:
     """Near-dup pairs by simhash: candidates share one of bits/band_bits
-    signature bands (a pair within hamming distance d < #bands must agree
-    on at least one band), verified by exact hamming distance."""
+    signature bands (pigeonhole: a pair differing in d bits across
+    MORE than d bands must agree on at least one band), verified by
+    exact hamming distance.
+
+    The guarantee requires #bands > max_hamming; when the requested
+    band_bits would violate it (e.g. 4 bands with max_hamming=4 — a
+    pair with one differing bit per band is silently lost), band_bits
+    auto-narrows to bits // (max_hamming + 1) so banding stays
+    EXHAUSTIVE at the declared radius. Tail bits not covered by a full
+    band only help recall (they count toward hamming but never split a
+    band)."""
+    if bits // band_bits <= max_hamming:
+        band_bits = max(1, bits // (max_hamming + 1))
     sigs = simhash_signatures(df, text_col, id_col, bits)
     bands = None
     for b in range(bits // band_bits):

@@ -34,7 +34,10 @@ def token_count_re(text: Column) -> Column:
 
 def stopword_ratio(text: Column) -> Column:
     w = words(text)
-    hits = F.size(F.filter(w, lambda x: x.isin(STOPWORDS)))
+    # case-insensitive match: sentence-initial/title-case function words
+    # ('The', 'In') are still stopwords — a case-sensitive match made
+    # lang_id miss plainly English title-cased text entirely
+    hits = F.size(F.filter(w, lambda x: F.lower(x).isin(STOPWORDS)))
     return hits / F.greatest(F.size(w), F.lit(1))
 
 

@@ -55,7 +55,20 @@ def numeric_quantiles(df: DataFrame, column: str,
     `percentile_approx` (sketch, mergeable) for scale."""
     col = F.col(column)
     fn = F.percentile if exact else (lambda c, p: F.percentile_approx(c, p, 10000))
-    aggs = [fn(col, p).cast("double").alias(f"p{int(p * 100)}") for p in probs]
+
+    def label(p: float) -> str:
+        # int(p*100) aliased 0.99 AND 0.999 both to 'p99' (duplicate
+        # column names) and 0.005 to 'p0' — keep pNN for whole
+        # percentiles, encode finer probs losslessly (0.999 -> p99_9)
+        v = p * 100
+        return f"p{int(v)}" if float(v).is_integer() else \
+            "p" + f"{v:g}".replace(".", "_")
+
+    labels = [label(p) for p in probs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"quantile probs {probs} produce duplicate labels")
+    aggs = [fn(col, p).cast("double").alias(lab)
+            for p, lab in zip(probs, labels)]
     return df.agg(
         F.count(col).alias("cnt"),
         F.min(col).cast("double").alias("min_v"),

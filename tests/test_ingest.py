@@ -186,3 +186,70 @@ def test_presence_include_exclude_and_allow_nan(spark):
                 presence_include=["/doc_id", "/score"],
                 presence_exclude=["/score"])).collect()}
     assert set(rows["b"]["_presence"].keys()) == {"/doc_id"}
+
+
+def test_ingest_typed_wire_values(spark):
+    """Code-review r4 regressions: (a) timestamp/date/binary fields must
+    ingest AND re-encode without crashing the mapInPandas batch,
+    (b) a sized-int wire value outside the physical range becomes
+    overflow + null instead of silently wrapping in the Arrow cast,
+    (c) decimal(p,s) is a first-class ingest dtype (wire conform with
+    scale/width checks), not a blanket invalid_type."""
+    sch = S.table(
+        S.field("id", "string", required=True),
+        S.field("ts", "timestamp"),
+        S.field("d", "date"),
+        S.field("n", "int32"),
+        S.field("amt", "decimal(7,2)"),
+        unknown="strict",
+    )
+    docs = [
+        '{"id":"a","ts":"2024-01-02T03:04:05Z","d":"2024-01-02",'
+        '"n":4294967297,"amt":12.34}',
+        '{"id":"b","n":7,"amt":"1.239"}',
+        '{"id":"c","amt":"123456.7"}',
+        '{"id":"d","amt":"xx"}',
+    ]
+    df = spark.createDataFrame([(x,) for x in docs], T.StructType(
+        [T.StructField("payload", T.StringType(), False)]))
+    rows = {r["id"]: r for r in ingest_json(df, sch).collect()}
+    viols = {(r["id"], i["path"], i["code"], i["rule"])
+             for r in ingest_json(df, sch).collect()
+             for i in r["_ingest_violations"]}
+
+    # (a) typed values survive + preserving encode renders wire formats
+    assert rows["a"]["ts"] is not None and rows["a"]["d"] is not None
+    enc = json.loads(rows["a"]["_encoded"])
+    assert enc["ts"].startswith("2024-01-02T03:04:05")
+    assert enc["d"] == "2024-01-02"
+    # (b) 2^32+1 into int32: overflow + null, NOT a silent wrap to 1
+    assert rows["a"]["n"] is None
+    assert ("a", "/n", "overflow", "int_range_int32") in viols
+    assert rows["b"]["n"] == 7
+    # (c) decimal conform: exact value kept; scale loss flagged+rounded;
+    # width overflow nulled; garbage -> invalid_type
+    from decimal import Decimal
+    assert rows["a"]["amt"] == Decimal("12.34")
+    assert rows["b"]["amt"] == Decimal("1.24")
+    assert ("b", "/amt", "overflow", "decimal_scale") in viols
+    assert rows["c"]["amt"] is None
+    assert ("c", "/amt", "overflow", "decimal_range") in viols
+    assert ("d", "/amt", "invalid_type", "type_decimal") in viols
+
+
+def test_ingest_nested_default_applied(spark):
+    """A missing NESTED field with a declared default materializes the
+    default (previously silently null with no issue, while the row pass
+    skipped `required` because a default existed)."""
+    sch = S.table(
+        S.field("id", "string", required=True),
+        S.field("cfg", S.table(S.field("mode", "string", default="std"),
+                               S.field("level", "int32"), unknown="strip")),
+        unknown="strict",
+    )
+    docs = ['{"id":"a","cfg":{"level":3}}', '{"id":"b","cfg":{"mode":"hot"}}']
+    df = spark.createDataFrame([(x,) for x in docs], T.StructType(
+        [T.StructField("payload", T.StringType(), False)]))
+    rows = {r["id"]: r for r in ingest_json(df, sch).collect()}
+    assert rows["a"]["cfg"]["mode"] == "std"   # default materialized
+    assert rows["b"]["cfg"]["mode"] == "hot"   # explicit wins
