@@ -120,7 +120,8 @@ def main():
         # per-partition counts) as parquet — the durable output — and the
         # violations/verdicts DataFrames are column-pruned reads of it
         res = validate(load(), schema, row_id_col(), dims={"dim_source": dim},
-                       report_path="/tmp/gsk_bench_report.parquet")
+                       report_path="/tmp/gsk_bench_report.parquet",
+                       report_partitions=CPUS)
         res.violations.write.format("noop").mode("overwrite").save()
         res.verdicts.write.format("noop").mode("overwrite").save()
 

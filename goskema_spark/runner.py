@@ -54,9 +54,10 @@ class ValidationResult:
     _persisted: list = dc_field(default_factory=list)  # probe relations to release
 
     def unpersist(self):
-        """Release any probe relations persisted for this run (the
-        broadcast='auto' dup-key probe). The report itself is parquet,
-        never an executor cache."""
+        """Release any relations persisted for this run. Since the
+        broadcast='auto' probe moved to a stateless HLL bound (r5,
+        uniqueness.py) nothing is persisted by default — kept as the
+        stable lifecycle hook callers already wrap in try/finally."""
         for df in self._persisted:
             df.unpersist(blocking=False)
         self._persisted = []
@@ -71,6 +72,7 @@ def validate(
     partition_col: str = "source",
     repartition: int = 0,
     report_path: Optional[str] = None,
+    report_partitions: int = 0,
     uniqueness_scope: Optional[DataFrame] = None,
 ) -> ValidationResult:
     """Run the full check set declared on `schema` against `df`.
@@ -103,8 +105,7 @@ def validate(
         ordinal = uk.ordinal or uk.column
         scope = uniqueness_scope if uniqueness_scope is not None else df
         uv = uniqueness_violations(scope, uk.column, ordinal, row_id, carry=carry,
-                                   broadcast=getattr(uk, "broadcast", True),
-                                   persisted=persisted)
+                                   broadcast=getattr(uk, "broadcast", True))
         if uniqueness_scope is not None and carry:
             parts = df.select(F.col(partition_col).alias("_part")).distinct()
             uv = uv.join(F.broadcast(parts),
@@ -156,14 +157,18 @@ def validate(
     if report_path:
         # ONE job writes everything durably; downstream outputs are
         # column-pruned parquet reads, immune to executor-cache pressure.
-        report.write.mode("overwrite").parquet(report_path)
+        # report_partitions (typically = cluster cores): coalesce — not
+        # repartition — the write to that many tasks/files. The report is
+        # bounded by the violation rate, so without this the narrow
+        # row-pass branch emits one (tiny) file per INPUT partition and
+        # the single-threaded job-commit + footer overhead becomes a
+        # non-scaling tail; coalesce keeps one task per core with no
+        # extra shuffle.
+        w = report.coalesce(report_partitions) if report_partitions else report
+        w.write.mode("overwrite").parquet(report_path)
         report = df.sparkSession.read.parquet(report_path)
         violations = (report.filter(F.col("_rec") == "v")
                       .select(*VIOLATION_COLS, *carry))
-        # the main job has consumed the probe caches — release them now
-        for p in persisted:
-            p.unpersist(blocking=False)
-        persisted = []
     else:
         violations = all_viols
 
