@@ -86,8 +86,12 @@ _EPOCH_MS_MAX = (2**63 - 1) // 1000
 
 register_codec(ColumnCodec(
     name="epoch_millis", wire_type="bigint", domain_type="timestamp",
+    # two-sided range check, NOT abs(): under non-ANSI Spark
+    # abs(Long.MIN_VALUE) wraps to Long.MIN_VALUE (negative) and the
+    # single wire value -2^63 would slip past a `<=` test
     decode=lambda c: F.timestamp_millis(
-        F.when(F.abs(c.cast("bigint")) <= _EPOCH_MS_MAX, c.cast("bigint"))),
+        F.when((c.cast("bigint") >= -_EPOCH_MS_MAX)
+               & (c.cast("bigint") <= _EPOCH_MS_MAX), c.cast("bigint"))),
     encode=lambda c: F.unix_millis(c),
 ))
 

@@ -341,6 +341,7 @@ def parse_document(payload: str, schema: TableSchema, opts: ParseOpts):
     # unknown-key policy (types.go:4-10), sorted for deterministic order
     # (reference api_error_model_test.go:49-71)
     unknown = sorted(k for k in tree if k not in declared)
+    pattern_passthrough = {}
     if schema.unknown_key_patterns:
         # pattern-matched keys are exempt from the unknown policy and
         # validate against their pattern's value spec (see _conform)
@@ -358,8 +359,14 @@ def parse_document(payload: str, schema: TableSchema, opts: ParseOpts):
                     _conform(tree[k], _replace(pf, name=k),
                              f"/{escape_pointer_token(k)}", issues,
                              opts.allow_nan)
+            # pattern-matched keys are validated above, but under
+            # unknown='passthrough' (x-kubernetes-preserve-unknown-fields
+            # + patternProperties) they must still survive the round
+            # trip: validated AND preserved, never silently dropped
+            if schema.unknown == "passthrough":
+                pattern_passthrough[k] = tree[k]
         unknown = rest
-    passthrough = {}
+    passthrough = dict(pattern_passthrough)
     for k in unknown:
         if schema.unknown == "strict":
             issues.append((f"/{escape_pointer_token(k)}", Codes.UNKNOWN_KEY,

@@ -572,22 +572,107 @@ def import_openapi(doc, ambiguity: str = "error",
     return _import_object(root, warns, opts=opts), warns
 
 
-def import_crd_yaml(text, kind: Optional[str] = None,
-                    ambiguity: str = "error",
-                    embedded_checks: bool = True) -> tuple:
-    """Import a (possibly multi-document) CRD YAML bundle; `kind` selects
-    the CRD whose spec.names.kind matches (reference ImportYAMLForCRDKind,
-    kubeopenapi/yaml.go). Returns (schema, warnings)."""
+class DuplicateKeyError(ValueError):
+    """A YAML mapping repeated a key — reported with the first occurrence
+    position and the duplicate position, 1-based like the reference
+    (kubeopenapi/yaml_strict.go:12-26 DuplicateKeyError)."""
+
+    def __init__(self, key, first_line, first_col, line, col):
+        self.key = key
+        self.first_line, self.first_col = first_line, first_col
+        self.line, self.col = line, col
+        super().__init__(
+            f"duplicate YAML key {key!r} at {line}:{col} "
+            f"(first at {first_line}:{first_col})")
+
+
+def _strict_node(node):
+    """yaml.compose node -> JSON-like value, refusing duplicate mapping
+    keys (reference yaml_strict.go:69-140 nodeToInterfaceStrict). A
+    duplicated key must never silently last-win — the same contract the
+    raw-JSON ingest path enforces via object_pairs_hook."""
+    import yaml
+
+    if node is None:
+        return None
+    if isinstance(node, yaml.MappingNode):
+        out, first = {}, {}
+        for k, v in node.value:
+            key = k.value
+            if key in first:
+                fl, fc = first[key]
+                raise DuplicateKeyError(key, fl, fc,
+                                        k.start_mark.line + 1,
+                                        k.start_mark.column + 1)
+            first[key] = (k.start_mark.line + 1, k.start_mark.column + 1)
+            out[key] = _strict_node(v)
+        return out
+    if isinstance(node, yaml.SequenceNode):
+        return [_strict_node(c) for c in node.value]
+    # scalar: resolve by tag, falling back to the raw string like the
+    # reference (yaml_strict.go:108-135)
+    tag = node.tag
+    v = node.value
+    if tag.endswith(":null"):
+        return None
+    if tag.endswith(":bool"):
+        return {"true": True, "false": False}.get(v.lower(), v)
+    if tag.endswith(":int"):
+        try:
+            return int(v, 0)
+        except ValueError:
+            return v
+    if tag.endswith(":float"):
+        try:
+            return float(v)
+        except ValueError:
+            return v
+    return v
+
+
+def strict_yaml_load_all(text) -> list:
+    """Decode a multi-document YAML stream, erroring on duplicate mapping
+    keys with first/dup line-col positions — the analog of the reference
+    StrictYAMLReader.ReadAll (kubeopenapi/yaml_strict.go:28-67,
+    yaml_strict_test.go)."""
     import yaml
 
     if isinstance(text, bytes):
         text = text.decode("utf-8")
-    docs = [d for d in yaml.safe_load_all(text) if isinstance(d, dict)]
+    return [_strict_node(n)
+            for n in yaml.compose_all(text, Loader=yaml.SafeLoader)]
+
+
+def import_crd_yaml(text, kind: Optional[str] = None,
+                    name: Optional[str] = None,
+                    ambiguity: str = "error",
+                    embedded_checks: bool = True,
+                    strict: bool = True) -> tuple:
+    """Import a (possibly multi-document) CRD YAML bundle. `kind` selects
+    the CRD whose spec.names.kind matches (reference ImportYAMLForCRDKind,
+    kubeopenapi/yaml.go:15-43); `name` selects by metadata.name
+    (ImportYAMLForCRDName, yaml.go:46-70 — the documented bundle-split
+    surface, kubeopenapi_bundle_split_test.go). strict=True (default)
+    decodes through the duplicate-key-detecting reader; a duplicated
+    mapping key raises DuplicateKeyError instead of silently
+    last-winning. Returns (schema, warnings)."""
+    import yaml
+
+    if isinstance(text, bytes):
+        text = text.decode("utf-8")
+    if strict:
+        docs = [d for d in strict_yaml_load_all(text) if isinstance(d, dict)]
+    else:
+        docs = [d for d in yaml.safe_load_all(text) if isinstance(d, dict)]
     crds = [d for d in docs if d.get("kind") == "CustomResourceDefinition"]
     if kind is not None:
         crds = [d for d in crds
                 if (((d.get("spec") or {}).get("names") or {}).get("kind")) == kind]
+    if name is not None:
+        crds = [d for d in crds
+                if ((d.get("metadata") or {}).get("name")) == name]
     if not crds:
-        raise ValueError(f"no CustomResourceDefinition for kind={kind!r} found")
+        raise ValueError(
+            f"no CustomResourceDefinition for kind={kind!r} name={name!r} found")
     return import_openapi(crds[0], ambiguity=ambiguity,
                           embedded_checks=embedded_checks)

@@ -40,6 +40,7 @@ from typing import Optional
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from goskema_spark.issues import pointer
 from goskema_spark.runner import ValidationResult, validate
 
 LEDGER_SCHEMA = T.StructType([
@@ -77,6 +78,16 @@ def completed_partitions(spark: SparkSession, ledger_path: str, run_id: str):
         led = spark.read.parquet(ledger_path)
     except AnalysisException:
         return set(), False
+    # v1 guard: appending int64 partition_id files into an int32 (v1)
+    # directory would write mixed-type parquet that fails on read-back —
+    # refuse up front with the migration recipe (module docstring)
+    pid = dict(zip(led.schema.names, led.schema.fields)).get("partition_id")
+    if pid is not None and not isinstance(pid.dataType, T.LongType):
+        raise ValueError(
+            f"ledger at {ledger_path} is format v1 (partition_id "
+            f"{pid.dataType.simpleString()}); migrate it to v2 (bigint "
+            "partition_id, see goskema_spark.ledger module docstring) "
+            "before appending")
     led = led.filter(F.col("run_id") == run_id)
     vals = {r["source"] for r in led.select("source").distinct().collect()}
     null_done = None in vals
@@ -155,13 +166,34 @@ def run_with_ledger(
          .partitionBy("run_id", "part_key")
          .parquet(violations_path))
 
-    check_names = (["rowpass"]
-                   + [f"unique_{u.column}" for u in schema.unique_keys]
-                   + [f"ref_{k.column}" for k in schema.foreign_keys])
+    # Per-check verdicts derived from each check's OWN violation class —
+    # a partition failing only rowpass must report unique_*: pass, not
+    # inherit the overall verdict (VERDICT r4 #2). Classes: uniqueness
+    # rows carry rule='unique_by' at the key's pointer path; referential
+    # rows carry rule='ref_<col>'; everything else is the row pass.
+    agg_checks = (
+        [(f"unique_{u.column}",
+          (F.col("rule") == "unique_by")
+          & (F.col("path") == pointer(u.column)))
+         for u in schema.unique_keys]
+        + [(f"ref_{k.column}", F.col("rule") == f"ref_{k.column}")
+           for k in schema.foreign_keys])
+    agg_any = None
+    for _, cond in agg_checks:
+        agg_any = cond if agg_any is None else (agg_any | cond)
+    rowpass_cond = ~agg_any if agg_any is not None else F.lit(True)
+    check_conds = [("rowpass", rowpass_cond)] + agg_checks
+    # one tiny grouped aggregate over the (column-pruned, materialized)
+    # violations relation; joined back on the partition VALUE null-safely
+    per_check = (res.violations
+                 .groupBy(F.col(partition_col).alias("_ck_part"))
+                 .agg(*[F.count(F.when(cond, F.lit(1))).alias(f"_ck_{i}")
+                        for i, (_, cond) in enumerate(check_conds)]))
     checks = F.map_from_arrays(
-        F.array(*[F.lit(c) for c in check_names]),
-        F.array(*[F.when(F.col("violations") > 0, "fail").otherwise("pass")
-                  for _ in check_names]),
+        F.array(*[F.lit(name) for name, _ in check_conds]),
+        F.array(*[F.when(F.coalesce(F.col(f"_ck_{i}"), F.lit(0)) > 0,
+                         "fail").otherwise("pass")
+                  for i in range(len(check_conds))]),
     )
     # partition_id: STABLE across batches and crash-resumes — derived
     # deterministically from the partition VALUE (xxhash64), not from a
@@ -172,7 +204,10 @@ def run_with_ledger(
     # reason (physical-plan-dependent noise). NULL partitions hash the
     # out-of-band sentinel, collision-free with any real 'v_'-prefixed
     # key (see part_key_col).
-    ledger_rows = res.verdicts.select(
+    verd = res.verdicts.join(
+        per_check,
+        F.col(partition_col).eqNullSafe(F.col("_ck_part")), "left")
+    ledger_rows = verd.select(
         F.lit(run_id).alias("run_id"),
         F.xxhash64(part_key_col(partition_col)).alias("partition_id"),
         F.col(partition_col).alias("source"),

@@ -80,14 +80,26 @@ def top_k_per_group(df: DataFrame, group_col: str, order_col: str, k: int,
     ranks only the <= k*S survivors per group. Output is IDENTICAL to
     salt=0 (any true top-k row is also top-k within its salt bucket).
     """
+    # `rk` is a documented output column; refuse to silently clobber a
+    # same-named input column (withColumn overwrites in place)
+    if "rk" in df.columns:
+        raise ValueError(
+            "top_k_per_group adds an output rank column named 'rk'; "
+            "rename the existing 'rk' input column first")
     oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
     order = [oc, F.col(tie_col).asc()]
     if salt > 0:
-        bucket = (F.xxhash64(F.col(tie_col).cast("string")) % salt).alias("_sb")
-        phase1 = (df.withColumn("_sb", bucket)
-                  .withColumn("_r1", F.row_number().over(
-                      Window.partitionBy(group_col, "_sb").orderBy(*order)))
-                  .filter(F.col("_r1") <= k).drop("_sb", "_r1"))
+        # collision-proof internal names (input may carry _sb/_r1)
+        sb, r1 = "_sb", "_r1"
+        while sb in df.columns:
+            sb += "_"
+        while r1 in df.columns:
+            r1 += "_"
+        bucket = (F.xxhash64(F.col(tie_col).cast("string")) % salt).alias(sb)
+        phase1 = (df.withColumn(sb, bucket)
+                  .withColumn(r1, F.row_number().over(
+                      Window.partitionBy(group_col, sb).orderBy(*order)))
+                  .filter(F.col(r1) <= k).drop(sb, r1))
         df = phase1
     w = Window.partitionBy(group_col).orderBy(*order)
     return (df.withColumn("rk", F.row_number().over(w))

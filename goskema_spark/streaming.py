@@ -92,14 +92,27 @@ def windowed_counts(stream_df: DataFrame, ts_col: str = "ts",
     )
 
 
+def _duration_ms(s: str) -> int:
+    """Parse a Spark-style duration string ('30 seconds', '1 hour')."""
+    units = {"millisecond": 1, "second": 1000, "minute": 60_000,
+             "hour": 3_600_000, "day": 86_400_000}
+    n, unit = s.strip().split()
+    unit = unit.lower().rstrip("s")
+    if unit not in units:
+        raise ValueError(f"unsupported duration unit in {s!r}")
+    return int(n) * units[unit]
+
+
 def streaming_unique_violations(stream_df: DataFrame, key_col: str = "doc_id",
-                                ordinal_col: str = "_ord") -> DataFrame:
+                                ordinal_col: str = "_ord",
+                                ts_col: Optional[str] = None,
+                                state_ttl: Optional[str] = None) -> DataFrame:
     """CROSS-micro-batch uniqueness with first-occurrence attribution —
     the custom stateful operator (applyInPandasWithState) extending
     rules.UniqueBy (reference rules/rules.go:104-137) to unbounded
     streams. Per-batch validate() only sees duplicates WITHIN one
-    micro-batch and dedup_stream silently drops rows; this keeps
-    (first_ordinal, count) state per key and EMITS a `uniqueness`
+    micro-batch and dedup_stream silently drops rows; this keeps the
+    first-seen ordinal (one long) per key and EMITS a `uniqueness`
     violation row for every non-first occurrence, whichever micro-batch
     it arrives in.
 
@@ -111,9 +124,24 @@ def streaming_unique_violations(stream_df: DataFrame, key_col: str = "doc_id",
     divergence from a global batch sort — exact late handling would
     need per-key ordinal retention, unbounded state).
 
-    State: ONE long per distinct key — bounded by the key cardinality,
-    the same footprint class as dropDuplicates state. Output mode
-    'update' (violations append-only per trigger)."""
+    State: ONE long per distinct key. Without a TTL that is bounded only
+    by the DISTINCT-key cardinality — fine for a replayed bounded corpus,
+    unbounded on a true unbounded key stream. For the latter pass
+    `ts_col` + `state_ttl` (e.g. '1 hour'): the stream is watermarked on
+    ts_col by the TTL and each key's state carries an event-time timeout
+    of (max event time seen for the key) + TTL — once the watermark
+    passes it, the state row is evicted, mirroring `dedup_stream`'s
+    bounded-memory story. An evicted key that reappears later re-admits
+    as a NEW first occurrence (no violation) — the deliberate
+    bounded-memory trade, identical to dropDuplicatesWithinWatermark.
+
+    Edge: a duplicate arriving with an ordinal EQUAL to the stored first
+    is treated as a replay of the first occurrence and passes silently —
+    exact only when ordinals are unique per arrival (the append-log
+    offset case); with non-unique ordinals a same-ordinal duplicate is
+    not flagged.
+
+    Output mode 'update' (violations append-only per trigger)."""
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -124,13 +152,28 @@ def streaming_unique_violations(stream_df: DataFrame, key_col: str = "doc_id",
         T.StructField("code", T.StringType()),
     ])
     state_t = T.StructType([T.StructField("first", T.LongType())])
+    ttl_ms = _duration_ms(state_ttl) if state_ttl else None
+    if ttl_ms is not None and ts_col is None:
+        raise ValueError("state_ttl requires ts_col (event-time column)")
+    empty_cols = [key_col, "dup_ord", "first_ord", "code"]
 
     def track(key, pdfs, state):
         import pandas as pd
 
+        if ttl_ms is not None and state.hasTimedOut:
+            # watermark passed this key's timeout: evict and emit nothing
+            state.remove()
+            yield pd.DataFrame([], columns=empty_cols)
+            return
         ords = []
+        max_ts_ms = None
         for pdf in pdfs:
             ords.extend(int(o) for o in pdf[ordinal_col].dropna())
+            if ttl_ms is not None:
+                mx = pdf[ts_col].max()
+                if not pd.isna(mx):
+                    ms = int(pd.Timestamp(mx).value // 1_000_000)
+                    max_ts_ms = ms if max_ts_ms is None else max(max_ts_ms, ms)
         ords.sort()
         first = state.get[0] if state.exists else None
         rows = []
@@ -141,15 +184,27 @@ def streaming_unique_violations(stream_df: DataFrame, key_col: str = "doc_id",
                 rows.append((key[0], o, first, "uniqueness"))
         if first is not None:  # all-null ordinals: nothing to remember
             state.update((first,))
-        yield pd.DataFrame(rows, columns=[key_col, "dup_ord", "first_ord", "code"])
+            if ttl_ms is not None:
+                # timeout fires once the watermark (ts_col max - TTL)
+                # passes (key's own max event time + TTL); must stay
+                # strictly above the current watermark or Spark rejects it
+                wm = state.getCurrentWatermarkMs()
+                base = max_ts_ms if max_ts_ms is not None else wm
+                state.setTimeoutTimestamp(max(base + ttl_ms, wm + 1))
+        yield pd.DataFrame(rows, columns=empty_cols)
 
-    return (stream_df
-            .select(F.col(key_col).cast("string").alias(key_col),
-                    F.col(ordinal_col))
+    cols = [F.col(key_col).cast("string").alias(key_col), F.col(ordinal_col)]
+    src = stream_df
+    if ttl_ms is not None:
+        src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp")) \
+                 .withWatermark(ts_col, state_ttl)
+        cols.append(F.col(ts_col))
+    timeout = (GroupStateTimeout.EventTimeTimeout if ttl_ms is not None
+               else GroupStateTimeout.NoTimeout)
+    return (src.select(*cols)
             .filter(F.col(key_col).isNotNull())
             .groupBy(key_col)
-            .applyInPandasWithState(track, out_t, state_t, "update",
-                                    GroupStateTimeout.NoTimeout))
+            .applyInPandasWithState(track, out_t, state_t, "update", timeout))
 
 
 def dedup_stream(stream_df: DataFrame, key: str = "doc_id",

@@ -35,6 +35,21 @@ def test_epoch_millis_roundtrip(spark):
     assert r["ms2"] == r["ms"]
 
 
+def test_epoch_millis_min_long_nulls(spark):
+    """-2^63 must null out, not throw: under non-ANSI Spark
+    abs(Long.MIN_VALUE) wraps negative and would slip past a one-sided
+    `<= max` clamp into timestamp_millis (ArithmeticException). The
+    two-sided range check nulls it like any other out-of-range epoch."""
+    lo, hi = -(2**63), 2**63 - 1
+    df = spark.createDataFrame(
+        [(1, lo), (2, hi), (3, 1700000000123), (4, None)],
+        "id long, ms long")
+    dec = decode_col(df, "ms", "epoch_millis")
+    rows = {r["id"]: r["ms_decoded"] for r in dec.collect()}
+    assert rows[1] is None and rows[2] is None
+    assert rows[3] is not None and rows[4] is None
+
+
 def test_encode_time_revalidation(spark):
     """Encoding an out-of-range domain value yields NULL wire output + a
     violation, never silent bad output."""

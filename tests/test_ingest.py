@@ -120,6 +120,29 @@ def test_passthrough_policy(spark):
     assert not row["_ingest_violations"]
 
 
+def test_pattern_keys_passthrough_preserved(spark):
+    """Pattern-matched unknown keys under unknown='passthrough'
+    (x-kubernetes-preserve-unknown-fields + patternProperties) are
+    validated against their pattern value spec AND preserved in the
+    passthrough map — never validated-then-dropped (r5 ADVICE fix)."""
+    sch = S.table(
+        S.field("doc_id", "string", required=True),
+        unknown="passthrough", passthrough_target="extra",
+    )
+    sch.unknown_key_patterns = [("^n_", S.field("_pat", "int64"))]
+    import pyspark.sql.types as T2
+    df = spark.createDataFrame(
+        [('{"doc_id":"p1","n_good":7,"n_bad":"oops","other":true}',)],
+        T2.StructType([T2.StructField("payload", T2.StringType(), False)]))
+    row = ingest_json(df, sch).collect()[0]
+    # all three unknowns survive the round trip, pattern-matched or not
+    assert set(row["extra"]) == {"n_good", "n_bad", "other"}
+    assert json.loads(row["extra"]["n_good"]) == 7
+    # the pattern value spec was still enforced on n_bad
+    issues = {(v["path"], v["code"]) for v in row["_ingest_violations"]}
+    assert ("/n_bad", "invalid_type") in issues
+
+
 def test_type_mismatch_emits_invalid_type_not_crash(spark):
     """A payload whose values don't match the declared dtypes must yield
     invalid_type issues (value -> null), never an Arrow crash of the

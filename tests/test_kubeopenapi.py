@@ -651,3 +651,103 @@ def test_pattern_properties_common_type_multi_pattern():
     })
     assert {f.name: f for f in sch2.fields}["m"].dtype.value == "string"
     assert any("heterogeneous" in w for w in warns2)
+
+
+def test_strict_yaml_duplicate_key_root():
+    """Reference yaml_strict_test.go TestStrictYAMLReader_DuplicateKey_Root:
+    a duplicated root mapping key errors with both positions (1-based)."""
+    from goskema_spark.kubeopenapi import DuplicateKeyError, strict_yaml_load_all
+    import pytest as _pt
+    with _pt.raises(DuplicateKeyError) as ei:
+        strict_yaml_load_all("kind: A\nkind: B\n")
+    e = ei.value
+    assert e.key == "kind"
+    assert e.first_line > 0 and e.line > 0 and e.line > e.first_line
+
+
+def test_strict_yaml_duplicate_key_nested():
+    """TestStrictYAMLReader_DuplicateKey_Nested: duplicates inside a
+    nested mapping are caught too."""
+    from goskema_spark.kubeopenapi import DuplicateKeyError, strict_yaml_load_all
+    import pytest as _pt
+    with _pt.raises(DuplicateKeyError) as ei:
+        strict_yaml_load_all("metadata:\n  name: a\n  name: b\n")
+    assert ei.value.key == "name"
+
+
+def test_strict_yaml_multidoc_and_scalars():
+    """TestStrictYAMLReader_ReadAll_MultiDoc + scalar tag resolution."""
+    from goskema_spark.kubeopenapi import strict_yaml_load_all
+    docs = strict_yaml_load_all(
+        "kind: A\nn: 7\nf: 1.5\nb: true\nz: null\n---\nkind: B\n")
+    assert len(docs) == 2
+    assert docs[0] == {"kind": "A", "n": 7, "f": 1.5, "b": True, "z": None}
+    assert docs[1] == {"kind": "B"}
+
+
+_BUNDLE = """\
+apiVersion: apiextensions.k8s.io/v1
+kind: CustomResourceDefinition
+metadata:
+  name: widgets.example.com
+spec:
+  names:
+    kind: Widget
+  versions:
+    - name: v1
+      schema:
+        openAPIV3Schema:
+          type: object
+          properties:
+            spec:
+              type: object
+              properties:
+                size: {type: integer}
+---
+apiVersion: apiextensions.k8s.io/v1
+kind: CustomResourceDefinition
+metadata:
+  name: gadgets.example.com
+spec:
+  names:
+    kind: Gadget
+  versions:
+    - name: v1
+      schema:
+        openAPIV3Schema:
+          type: object
+          properties:
+            spec:
+              type: object
+              properties:
+                color: {type: string}
+"""
+
+
+def test_import_crd_yaml_select_by_metadata_name():
+    """ImportYAMLForCRDName (reference yaml.go:46-70): select a CRD out
+    of a multi-doc bundle by metadata.name, not spec.names.kind."""
+    sch, _ = import_crd_yaml(_BUNDLE, name="gadgets.example.com")
+    spec = {f.name: f for f in sch.fields}.get("spec")
+    assert spec is not None
+    inner = {f.name for f in spec.dtype.fields}
+    assert inner == {"color"}
+    # unknown name -> clear error (yaml.go:69)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="no CustomResourceDefinition"):
+        import_crd_yaml(_BUNDLE, name="nope.example.com")
+
+
+def test_import_crd_yaml_strict_duplicate_key():
+    """import_crd_yaml decodes through the strict reader by default: a
+    duplicated key anywhere in the bundle refuses to silently last-win
+    (the engine's own ingest contract); strict=False restores the
+    permissive decode."""
+    from goskema_spark.kubeopenapi import DuplicateKeyError
+    dup = _BUNDLE.replace("  name: widgets.example.com",
+                          "  name: widgets.example.com\n  name: dup.example.com")
+    import pytest as _pt
+    with _pt.raises(DuplicateKeyError):
+        import_crd_yaml(dup, name="gadgets.example.com")
+    sch, _ = import_crd_yaml(dup, name="gadgets.example.com", strict=False)
+    assert sch is not None

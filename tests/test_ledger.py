@@ -73,6 +73,33 @@ def test_ledger_checks_map_and_null_partition(spark):
         assert by_src["parachute"]["verdict"] == "fail"
         viols = spark.read.parquet(f"{tmp}/viols")
         assert viols.filter(F.col("run_id") == "x").count() > 0
+
+        # Per-check verdicts reflect each check's OWN violation class
+        # (VERDICT r4 #2): derive the expectation from the violations
+        # table and compare against every ledger row's checks map.
+        vrows = viols.filter(F.col("run_id") == "x").collect()
+        uniq_fail = {r["source"] for r in vrows
+                     if r["rule"] == "unique_by" and r["path"] == "/doc_id"}
+        ref_fail = {r["source"] for r in vrows if r["rule"] == "ref_source"}
+        rp_fail = {r["source"] for r in vrows
+                   if not (r["rule"] == "unique_by" and r["path"] == "/doc_id")
+                   and r["rule"] != "ref_source"}
+        for r in led:
+            ck = r["checks"]
+            assert ck["unique_doc_id"] == (
+                "fail" if r["source"] in uniq_fail else "pass"), r
+            assert ck["ref_source"] == (
+                "fail" if r["source"] in ref_fail else "pass"), r
+            assert ck["rowpass"] == (
+                "fail" if r["source"] in rp_fail else "pass"), r
+        # a partition failing rowpass only must NOT inherit the overall
+        # verdict into unaffected checks
+        only_rp = [r for r in led if r["verdict"] == "fail"
+                   and r["source"] in rp_fail
+                   and r["source"] not in uniq_fail
+                   and r["source"] not in ref_fail]
+        assert only_rp, "fixture should contain a rowpass-only partition"
+        assert all(r["checks"]["unique_doc_id"] == "pass" for r in only_rp)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -204,3 +204,54 @@ def test_streaming_unique_violations_cross_batch(spark):
         assert got == ref
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_unique_state_ttl_evicts_and_readmits(spark):
+    """state_ttl bounds the stateful-uniqueness memory: a key whose
+    event time falls TTL behind the watermark is evicted (state row
+    gone) and re-admits later as a NEW first occurrence with no
+    violation, while a key whose state is still live keeps flagging
+    duplicates against the original first ordinal."""
+    import datetime as dt
+    from pyspark.sql import types as T
+    from goskema_spark.streaming import streaming_unique_violations
+
+    def t(h, m=0):
+        return dt.datetime(2026, 1, 1, h, m)
+
+    tmp = tempfile.mkdtemp()
+    try:
+        schema_t = T.StructType([T.StructField("doc_id", T.StringType()),
+                                 T.StructField("_ord", T.LongType()),
+                                 T.StructField("ts", T.TimestampType())])
+        batches = [
+            [("X", 0, t(10)), ("a", 1, t(10))],
+            [("b", 11, t(13))],          # watermark -> 09:00 (X, a live)
+            [("c", 20, t(13, 10))],      # watermark -> 12:00: X,a evicted
+            [("X", 30, t(13, 20)),       # re-admits: NO violation
+             ("b", 31, t(13, 20))],      # still-live state: flagged vs 11
+        ]
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema_t).coalesce(1)                 .write.parquet(f"{tmp}/in/b{i + 1}")
+        stream = (spark.readStream.schema(schema_t)
+                  .option("maxFilesPerTrigger", "1")
+                  .option("recursiveFileLookup", "true")
+                  .parquet(f"{tmp}/in"))
+        q = (streaming_unique_violations(stream, ts_col="ts",
+                                         state_ttl="1 hour")
+             .writeStream.format("memory").queryName("uniq_ttl")
+             .outputMode("update")
+             .option("checkpointLocation", f"{tmp}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        got = {(r["doc_id"], r["dup_ord"], r["first_ord"])
+               for r in spark.sql("select * from uniq_ttl").collect()}
+        assert got == {("b", 31, 11)}  # X@30 re-admitted silently
+        # state stays bounded: the last progress reports fewer state
+        # rows than distinct keys ever seen (a evicted, X re-added)
+        state_rows = [p["stateOperators"][0]["numRowsTotal"]
+                      for p in (q.recentProgress or [])
+                      if p.get("stateOperators")]
+        assert state_rows and state_rows[-1] <= 3
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

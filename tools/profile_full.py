@@ -40,7 +40,8 @@ def main():
 
     # ---- warm run (full q_full shape) ------------------------------------
     res = validate(load(), schema, row_id_col(), dims={"dim_source": dim},
-                   report_path="/tmp/gsk_prof_report.parquet")
+                   report_path="/tmp/gsk_prof_report.parquet",
+                   report_partitions=cpus)
     res.violations.write.format("noop").mode("overwrite").save()
     res.verdicts.write.format("noop").mode("overwrite").save()
     res.unpersist()
@@ -56,13 +57,15 @@ def main():
         df = load()
         t0 = time.time()
 
-        # phase: probe (the broadcast='auto' dup-count probe job)
-        dups_probe = (df.filter(F.col("doc_id").isNotNull())
-                      .groupBy(F.xxhash64(F.col("doc_id")).alias("_kh"))
-                      .agg(F.count(F.lit(1)).alias("_cnt"))
-                      .filter(F.col("_cnt") > 1).select("_kh"))
-        dups_probe = dups_probe.persist()
-        over = dups_probe.limit(4_000_001).count() > 4_000_000
+        # phase: probe (the broadcast='auto' HLL bound — r5: column-pruned
+        # scan + sketch merge, no key shuffle, nothing persisted)
+        kc = F.col("doc_id")
+        stats_row = (df.filter(kc.isNotNull())
+                     .agg(F.count(F.lit(1)).alias("_n"),
+                          F.approx_count_distinct(kc, rsd=0.03).alias("_d"))
+                     .collect()[0])
+        extras_upper = stats_row["_n"] - int(stats_row["_d"] * 0.94)
+        assert extras_upper <= 4_000_000, extras_upper
         t["probe"] = time.time() - t0; t0 = time.time()
 
         # phase: build (python plan assembly, broadcast=True -> no extra job)
@@ -91,9 +94,9 @@ def main():
         t["optimize"] = time.time() - t0; t0 = time.time()
 
         # phase: the report write job
-        report.write.mode("overwrite").parquet("/tmp/gsk_prof_report.parquet")
+        report.coalesce(cpus).write.mode("overwrite").parquet(
+            "/tmp/gsk_prof_report.parquet")
         t["write"] = time.time() - t0; t0 = time.time()
-        dups_probe.unpersist(blocking=False)
 
         # phase: violations noop (column-pruned parquet read)
         rpt = spark.read.parquet("/tmp/gsk_prof_report.parquet")
