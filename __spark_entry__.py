@@ -153,6 +153,28 @@ def _q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(corpus, ["doc_id", "n_tok", "source"], exact_distinct=True)
 
 
+def _q_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped stats profile: one row per (source, column) — the north
+    rule's per-partition lineage view as a single grouped aggregate."""
+    corpus = _corpus(spark, sf_dir)
+    return profile(corpus, ["doc_id", "n_tok"], exact_distinct=True,
+                   by="source")
+
+
+def _q_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    q = numeric_quantiles(corpus, "n_tok", (0.5, 0.9), exact=True,
+                          by="source")
+    return q.select(
+        "source",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("min_v"), F.col("max_v"),
+        F.round("avg_v", 4).alias("avg_v"),
+        F.round("p50", 4).alias("p50"),
+        F.round("p90", 4).alias("p90"),
+    )
+
+
 def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
     h = histogram(corpus, "n_tok", 0, MAX_NTOK, 16)
@@ -621,8 +643,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniqueness_violations": _q_uniqueness,
         "referential_violations": _q_referential,
         "stats_profile": _q_stats,
+        "stats_by_source": _q_stats_by_source,
         "ntok_histogram": _q_histogram,
         "ntok_quantiles": _q_quantiles,
+        "ntok_quantiles_by_source": _q_quantiles_by_source,
         "verdicts_by_source": _q_verdicts,
         "nested_struct_violations": _q_nested,
         "union_variant_violations": _q_union,
@@ -982,6 +1006,28 @@ SELECT * FROM (
          CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
   FROM corpus
 )"""),
+        "stats_by_source": _with_corpus("""
+SELECT * FROM (
+  SELECT source, 'doc_id' AS col, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+         CAST(MIN(doc_id) AS VARCHAR) AS min_v, CAST(MAX(doc_id) AS VARCHAR) AS max_v
+  FROM corpus GROUP BY source
+  UNION ALL
+  SELECT source, 'n_tok', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN n_tok IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT n_tok) AS BIGINT),
+         CAST(MIN(n_tok) AS VARCHAR), CAST(MAX(n_tok) AS VARCHAR)
+  FROM corpus GROUP BY source
+)"""),
+        "ntok_quantiles_by_source": _with_corpus("""
+SELECT source, CAST(COUNT(n_tok) AS BIGINT) AS cnt,
+       CAST(MIN(n_tok) AS DOUBLE) AS min_v,
+       CAST(MAX(n_tok) AS DOUBLE) AS max_v,
+       ROUND(AVG(n_tok), 4) AS avg_v,
+       ROUND(quantile_cont(n_tok, 0.5), 4) AS p50,
+       ROUND(quantile_cont(n_tok, 0.9), 4) AS p90
+FROM corpus GROUP BY source"""),
         "ntok_histogram": _with_corpus(f"""
 SELECT CAST(CASE WHEN n_tok < 0 THEN 0
             WHEN n_tok >= {MAX_NTOK} THEN 17

@@ -36,6 +36,40 @@ from goskema_spark.schema import (
 PRESENCE_SEEN = 1
 PRESENCE_WAS_NULL = 2
 PRESENCE_DEFAULT_APPLIED = 4
+# Wire-type bits (r5): the JSON type each key carried ON THE WIRE,
+# recorded before any coercion — lets downstream checks (anyOf branch
+# matching, rowpass._compile_anyof) use the reference's wire-type
+# semantics (union_ambiguity.go:20 + patterns.go:209-250
+# valueMatchesType) instead of the castability approximation whenever
+# the data came through raw-JSON ingest. NUMBER is set for every JSON
+# number; INT additionally when it has a zero fractional part
+# (patterns.go isInteger: 2.0 IS an integer).
+PRESENCE_WIRE_STRING = 8
+PRESENCE_WIRE_NUMBER = 16
+PRESENCE_WIRE_INT = 32
+PRESENCE_WIRE_BOOL = 64
+PRESENCE_WIRE_OBJECT = 128
+PRESENCE_WIRE_ARRAY = 256
+
+
+def _wire_bits(v) -> int:
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return PRESENCE_WIRE_BOOL
+    if isinstance(v, int):
+        return PRESENCE_WIRE_NUMBER | PRESENCE_WIRE_INT
+    if isinstance(v, float):
+        import math
+        bits = PRESENCE_WIRE_NUMBER
+        if math.isfinite(v) and math.trunc(v) == v:
+            bits |= PRESENCE_WIRE_INT
+        return bits
+    if isinstance(v, str):
+        return PRESENCE_WIRE_STRING
+    if isinstance(v, _Obj) or isinstance(v, dict):
+        return PRESENCE_WIRE_OBJECT
+    if isinstance(v, list):
+        return PRESENCE_WIRE_ARRAY
+    return 0
 
 
 @dataclass
@@ -86,7 +120,7 @@ def _walk(node, path: str, depth: int, opts: ParseOpts, issues: list,
                 if opts.on_duplicate_key == "warn":
                     pass  # recorded but later value still wins, like Warn severity
             out[k] = _walk(v, kp, depth + 1, opts, issues, presence)
-            bits = presence.get(kp, 0) | PRESENCE_SEEN
+            bits = presence.get(kp, 0) | PRESENCE_SEEN | _wire_bits(v)
             if out[k] is None and not isinstance(out[k], (_Obj,)):
                 if v is None:
                     bits |= PRESENCE_WAS_NULL

@@ -57,13 +57,21 @@ def stratified_sample(df: DataFrame, rates: dict, strata_col: str = "source",
                       seed: str = "gsk") -> DataFrame:
     """Per-stratum sampling rates (e.g. downweight a boilerplate-heavy
     source): rates maps stratum value -> rate; strata not listed use
-    default_rate. Still a pure narrow filter."""
+    default_rate. Still a pure narrow filter.
+
+    The stratum -> threshold lookup is ONE map-literal expression, not a
+    CASE-WHEN chain: a chain nests one CaseWhen per stratum (expression
+    tree depth O(#strata) — a plan/codegen bomb at 10^4 strata), while
+    GetMapValue stays a single flat node whatever the cardinality. A
+    NULL or unlisted stratum falls through to default_rate."""
     hx = F.substring(F.md5(F.concat(F.lit(seed + "|"),
                                     F.col(key_col).cast("string"))), 1, 8)
     thr = F.lit(_hex_threshold(default_rate))
-    for val, rate in sorted(rates.items()):
-        thr = F.when(F.col(strata_col) == val,
-                     F.lit(_hex_threshold(rate))).otherwise(thr)
+    if rates:
+        m = F.create_map(*[
+            lit for val, rate in sorted(rates.items())
+            for lit in (F.lit(val), F.lit(_hex_threshold(rate)))])
+        thr = F.coalesce(m[F.col(strata_col)], thr)
     return df.filter(hx < thr)
 
 

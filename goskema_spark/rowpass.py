@@ -90,6 +90,11 @@ class CompiledChecks:
     def __init__(self):
         self.scalars: list = []   # (cond, violation struct)
         self.arrays: list = []    # (cheap gate | None, array expr, exact)
+        # the raw-JSON ingest presence map (_presence), when the frame
+        # carries one — lets anyOf branch scoring use the recorded WIRE
+        # type (reference union_ambiguity.go:76-107) instead of the
+        # castability approximation (see _anyof_indicator)
+        self.presence: Optional[Column] = None
 
     def add(self, cond: Column, path, code, rule=None, params=None, message=None):
         self.scalars.append((cond, violation(path, code, rule, params, message)))
@@ -159,6 +164,8 @@ class CompiledChecks:
 def compile_checks(schema: TableSchema, df: DataFrame) -> CompiledChecks:
     out = CompiledChecks()
     phys = {sf.name: sf.dataType for sf in df.schema.fields}
+    if "_presence" in df.columns:
+        out.presence = F.col("_presence")
 
     # unknown-column policy (reference types.go:4-10, dsl/object_core.go:136-169)
     declared = set(schema.field_names()) | {"_ord", "_row_id"}
@@ -205,6 +212,7 @@ def compile_checks(schema: TableSchema, df: DataFrame) -> CompiledChecks:
             gate = dcol == F.lit(tag)
             if isinstance(var, TableSchema):
                 sub = CompiledChecks()
+                sub.presence = out.presence
                 for vf in sorted(var.fields, key=lambda x: x.name):
                     if vf.name not in df.columns:
                         if vf.required and vf.default is None:
@@ -429,14 +437,40 @@ def _json_type_match(col: Column, t: str) -> Optional[Column]:
     return None
 
 
-def _anyof_indicator(col: Column, branch: dict, field_is_object: bool) -> Column:
+# wire-type bits mirroring ingest.PRESENCE_WIRE_* (kept in sync by
+# tests/test_ingest.py::test_wire_type_bits) — JSON type names keyed the
+# way union_ambiguity.go:76-107 valueMatchesType switches on them
+_WIRE_BITS_ALL = 8 | 16 | 32 | 64 | 128 | 256
+_WIRE_BIT_FOR_TYPE = {
+    "string": 8, "number": 16, "integer": 32,
+    "boolean": 64, "object": 128, "array": 256,
+}
+
+
+def _anyof_indicator(col: Column, branch: dict, field_is_object: bool,
+                     wire: Optional[Column] = None) -> Column:
     """'value fully matches this branch' predicate (reference
     union_ambiguity.go:13-46: type branches via wire type, object
-    branches via required keys, else accept)."""
+    branches via required keys, else accept).
+
+    `wire` is the ingest presence-map entry for this pointer, when the
+    frame came through raw-JSON ingest: it carries the recorded WIRE
+    type bits, so the predicate converges with the reference's
+    valueMatchesType exactly — '123' (a JSON string) under
+    anyOf[integer,string] matches ONE branch post-ingest. Columnar-only
+    frames (wire None or no bits recorded) fall back to the documented
+    lossless-castability approximation."""
     t = branch.get("type")
     if t and not field_is_object:
         m = _json_type_match(col, t)
-        return m if m is not None else F.lit(True)
+        if m is None:
+            return F.lit(True)
+        bit = _WIRE_BIT_FOR_TYPE.get(t)
+        if wire is not None and bit is not None:
+            has_wire = wire.isNotNull() & \
+                (wire.bitwiseAND(F.lit(_WIRE_BITS_ALL)) != 0)
+            return F.when(has_wire, wire.bitwiseAND(F.lit(bit)) != 0).otherwise(m)
+        return m
     req = branch.get("required")
     if field_is_object and isinstance(req, list) and req:
         cond = F.lit(True)
@@ -458,9 +492,12 @@ def _compile_anyof(out: CompiledChecks, f: Field, col: Column, p) -> None:
              or (field_is_object and b.get("required"))]
     if not known:
         return
+    wire = None
+    if out.presence is not None and isinstance(p, str):
+        wire = out.presence[F.lit(p)]
     m = F.lit(0)
     for b in branches:
-        m = m + _anyof_indicator(col, b, field_is_object).cast("int")
+        m = m + _anyof_indicator(col, b, field_is_object, wire).cast("int")
     if f.anyof_ambiguity == "first_match":
         out.add(col.isNotNull() & (m == 0), p, Codes.NO_MATCH,
                 rule=f"anyof_{f.name}", params={"matched": m})

@@ -18,13 +18,19 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def profile(df: DataFrame, columns=None, exact_distinct: bool = False,
-            rsd: float = 0.02) -> DataFrame:
+            rsd: float = 0.02, by: str = None) -> DataFrame:
     """One row per column: col, cnt, nulls, n_distinct, min_v, max_v (strings).
 
     exact_distinct=True uses count(distinct) — for golden tests / oracle
     parity; default is the HLL sketch for scale.
+
+    by='source' groups the profile: one row per (group, column). Still a
+    SINGLE hash aggregate — every statistic is algebraic or a mergeable
+    sketch, so the grouped variant costs one shuffle on the group key
+    (partial combine map-side), not one job per group. The north rule's
+    per-partition lineage view at 100 TB is exactly this shape.
     """
-    columns = columns or df.columns
+    columns = columns or [c for c in df.columns if c != by]
     per_col = []
     for c in sorted(columns):
         col = F.col(c)
@@ -43,16 +49,23 @@ def profile(df: DataFrame, columns=None, exact_distinct: bool = False,
             minv.alias("min_v"),
             maxv.alias("max_v"),
         ))
-    one = df.agg(F.array(*per_col).alias("stats"))
-    return one.select(F.explode("stats").alias("s")).select(
-        "s.col", "s.cnt", "s.nulls", "s.n_distinct", "s.min_v", "s.max_v"
+    stats = F.array(*per_col).alias("stats")
+    one = df.groupBy(by).agg(stats) if by else df.agg(stats)
+    keys = [by] if by else []
+    return one.select(*keys, F.explode("stats").alias("s")).select(
+        *keys, "s.col", "s.cnt", "s.nulls", "s.n_distinct", "s.min_v", "s.max_v"
     )
 
 
 def numeric_quantiles(df: DataFrame, column: str,
-                      probs=(0.5, 0.9, 0.99), exact: bool = False) -> DataFrame:
+                      probs=(0.5, 0.9, 0.99), exact: bool = False,
+                      by: str = None) -> DataFrame:
     """Quantiles of a numeric column: exact `percentile` for goldens,
-    `percentile_approx` (sketch, mergeable) for scale."""
+    `percentile_approx` (sketch, mergeable) for scale.
+
+    by='source' groups: one row per group, same single-aggregate plan
+    (percentile_approx states merge; exact percentile still groups in
+    one pass)."""
     col = F.col(column)
     fn = F.percentile if exact else (lambda c, p: F.percentile_approx(c, p, 10000))
 
@@ -69,7 +82,7 @@ def numeric_quantiles(df: DataFrame, column: str,
         raise ValueError(f"quantile probs {probs} produce duplicate labels")
     aggs = [fn(col, p).cast("double").alias(lab)
             for p, lab in zip(probs, labels)]
-    return df.agg(
+    return (df.groupBy(by) if by else df).agg(
         F.count(col).alias("cnt"),
         F.min(col).cast("double").alias("min_v"),
         F.max(col).cast("double").alias("max_v"),

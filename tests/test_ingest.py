@@ -70,8 +70,40 @@ def test_presence_bits(spark):
     p5 = rows["j5"]["_presence"]
     assert p5["/n_tok"] == PRESENCE_DEFAULT_APPLIED
     assert rows["j5"]["n_tok"] == 0
-    # j1: plain field -> Seen only
-    assert rows["j1"]["_presence"]["/doc_id"] == PRESENCE_SEEN
+    # j1: plain field -> Seen (plus wire-type bits, masked off here)
+    p1 = rows["j1"]["_presence"]["/doc_id"]
+    assert p1 & PRESENCE_SEEN and not p1 & PRESENCE_WAS_NULL
+    assert not p1 & PRESENCE_DEFAULT_APPLIED
+
+
+def test_wire_type_bits(spark):
+    """Ingest records the JSON wire type of every seen key
+    (union_ambiguity.go:76-107 valueMatchesType; patterns.go isInteger:
+    a float with zero fraction IS an integer on the wire)."""
+    from goskema_spark.ingest import (
+        PRESENCE_WIRE_ARRAY, PRESENCE_WIRE_BOOL, PRESENCE_WIRE_INT,
+        PRESENCE_WIRE_NUMBER, PRESENCE_WIRE_OBJECT, PRESENCE_WIRE_STRING,
+    )
+    from goskema_spark.rowpass import _WIRE_BIT_FOR_TYPE, _WIRE_BITS_ALL
+    # rowpass mirrors the ingest bit values (no import cycle by design)
+    assert _WIRE_BIT_FOR_TYPE == {
+        "string": PRESENCE_WIRE_STRING, "number": PRESENCE_WIRE_NUMBER,
+        "integer": PRESENCE_WIRE_INT, "boolean": PRESENCE_WIRE_BOOL,
+        "object": PRESENCE_WIRE_OBJECT, "array": PRESENCE_WIRE_ARRAY,
+    }
+    assert _WIRE_BITS_ALL == (PRESENCE_WIRE_STRING | PRESENCE_WIRE_NUMBER
+                              | PRESENCE_WIRE_INT | PRESENCE_WIRE_BOOL
+                              | PRESENCE_WIRE_OBJECT | PRESENCE_WIRE_ARRAY)
+    rows = {r["doc_id"]: r for r in _parsed(spark).collect()}
+    p1 = rows["j1"]["_presence"]
+    assert p1["/doc_id"] & PRESENCE_WIRE_STRING          # "j1"
+    assert not p1["/doc_id"] & PRESENCE_WIRE_NUMBER
+    assert p1["/tokens"] & PRESENCE_WIRE_ARRAY           # [1,2]
+    assert p1["/n_tok"] & PRESENCE_WIRE_INT              # 2
+    assert p1["/n_tok"] & PRESENCE_WIRE_NUMBER           # every int is a number
+    # j4: explicit null -> WasNull, no wire bits
+    p4 = rows["j4"]["_presence"]["/tokens"]
+    assert p4 & PRESENCE_WAS_NULL and not p4 & PRESENCE_WIRE_ARRAY
 
 
 def test_preserving_encode(spark):

@@ -231,6 +231,66 @@ def test_anyof_first_match_strategy(spark):
     assert got == {("c", "/port", "no_match")}
 
 
+def test_anyof_wire_type_fidelity_post_ingest(spark):
+    """anyOf branch matching consults the ingest-recorded WIRE type when
+    the frame came through raw-JSON ingest (union_ambiguity.go:76-107
+    valueMatchesType): '123' — a JSON STRING — under
+    anyOf[string,integer] matches exactly one branch post-ingest, while
+    the columnar-only path (no _presence) stays ambiguous under the
+    documented castability approximation."""
+    sch, _ = import_openapi({
+        "type": "object",
+        "properties": {
+            "id": {"type": "string"},
+            "target": {"anyOf": [{"type": "string"},
+                                 {"type": "integer"}]},
+        },
+        "required": ["id"],
+    })
+    sch.unknown = "strip"
+    docs = ['{"id":"a","target":"123"}',   # wire string -> 1 match
+            '{"id":"b","target":"http"}']  # wire string -> 1 match
+    raw = spark.createDataFrame(
+        [(d,) for d in docs],
+        T.StructType([T.StructField("payload", T.StringType(), False)]))
+    parsed = ingest_json(raw, sch)
+    _, viols, _ = validate_rows(parsed, sch, F.col("id"))
+    got = {(r["row_id"], r["code"]) for r in viols.collect()
+           if r["code"] in ("no_match", "ambiguous_match")}
+    assert got == set()  # nothing ambiguous once the wire type is known
+
+    # columnar-only control: the same '123' IS ambiguous (documented
+    # divergence when no wire record exists)
+    df = spark.createDataFrame(
+        [("a", "123")],
+        T.StructType([T.StructField("id", T.StringType()),
+                      T.StructField("target", T.StringType())]))
+    _, viols2, _ = validate_rows(df, sch, F.col("id"))
+    got2 = {(r["row_id"], r["code"]) for r in viols2.collect()}
+    assert ("a", "ambiguous_match") in got2
+
+    # float with zero fraction IS an integer on the wire (patterns.go
+    # isInteger): 2.0 under anyOf[number,integer] matches both -> ambiguous
+    sch2, _ = import_openapi({
+        "type": "object",
+        "properties": {
+            "id": {"type": "string"},
+            "ratio": {"anyOf": [{"type": "number"},
+                                {"type": "integer"}]},
+        },
+        "required": ["id"],
+    })
+    sch2.unknown = "strip"
+    raw2 = spark.createDataFrame(
+        [('{"id":"c","ratio":2.0}',), ('{"id":"d","ratio":2.5}',)],
+        T.StructType([T.StructField("payload", T.StringType(), False)]))
+    parsed2 = ingest_json(raw2, sch2)
+    _, viols3, _ = validate_rows(parsed2, sch2, F.col("id"))
+    got3 = {(r["row_id"], r["code"]) for r in viols3.collect()
+            if r["code"] in ("no_match", "ambiguous_match")}
+    assert got3 == {("c", "ambiguous_match")}  # 2.5 matches number only
+
+
 def test_number_items_maximum_inclusive(spark):
     """ADVICE fix: number items keep the INCLUSIVE OpenAPI maximum —
     10.5 violates maximum=10 (the old +1 exclusive conversion let any

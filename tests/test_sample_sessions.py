@@ -61,6 +61,26 @@ def test_stratified_sample_rates(spark):
         {r["doc_id"] for r in plain.collect()}
 
 
+def test_stratified_sample_plan_flat_in_strata(spark):
+    """The stratum threshold lookup is one map-literal GetMapValue, not
+    a nested CaseWhen chain — expression tree DEPTH must not grow with
+    #strata (10^4 strata would blow the codegen recursion limit as a
+    chain)."""
+    df = _docs(spark)
+    big = {f"src{i}": (i % 100) / 100.0 for i in range(10_000)}
+    out = stratified_sample(df, big, "source", "doc_id", default_rate=0.0)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "CASE WHEN" not in plan
+    # still correct: src0 -> 0.0 (dropped), src1 -> 0.01, src50 absent
+    # from _docs; compare against the small-dict result for the listed
+    # sources present in the data
+    small = stratified_sample(df, {s: big[s] for s in
+                                   ("src0", "src1", "src2", "src3", "src4")},
+                              "source", "doc_id", default_rate=0.0)
+    assert {r["doc_id"] for r in out.collect()} == \
+        {r["doc_id"] for r in small.collect()}
+
+
 def test_top_k_per_group_salted_equals_unsalted(spark):
     df = _docs(spark)
     plain = top_k_per_group(df, "source", "score", 3, "doc_id")

@@ -94,7 +94,7 @@ def main():
         t["optimize"] = time.time() - t0; t0 = time.time()
 
         # phase: the report write job
-        report.coalesce(cpus).write.mode("overwrite").parquet(
+        report.repartition(cpus).write.mode("overwrite").parquet(
             "/tmp/gsk_prof_report.parquet")
         t["write"] = time.time() - t0; t0 = time.time()
 
