@@ -352,6 +352,30 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("keep_id").cast("bigint").alias("keep_id"))
 
 
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C style 8-gram overlap):
+    the benchmark set is the deterministic doc_id % 25 == 0 slice of the
+    same table (no external data) — its distinct grams broadcast, the
+    corpus side probes map-side."""
+    from goskema_spark.ops.decontam import contamination_hits
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    return (contamination_hits(docs, bench, n=8)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    F.col("n_hits")))
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repeated-3-gram ratio per document — a pure scan
+    projection (no shuffle)."""
+    from goskema_spark.ops.textops import ngram_array, repetition_score
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.round(repetition_score(t, 3), 6).alias("rep3"),
+        F.size(ngram_array(t, 3)).cast("bigint").alias("n_gram3"))
+
+
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goskema_spark.ops.dedup import minhash_candidate_pairs
     p = minhash_candidate_pairs(_docs(spark, sf_dir))
@@ -655,6 +679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_token_checksum": _q_clean_checksum,
         "drift_psi_ks": _q_drift_psi,
         "text_profile": _q_text_profile,
+        "contamination_hits": _q_contamination,
+        "repetition_profile": _q_repetition,
         "dedup_exact_prefix": _q_dedup_exact,
         "minhash_candidates": _q_minhash,
         "ngram_jaccard_pairs": _q_jaccard,
@@ -790,6 +816,27 @@ SELECT ROUND(SUM(psi_term), 6) AS psi, ROUND(MAX(ABS(cdf_diff)), 6) AS ks FROM s
     return {
         "drift_psi_ks": drift_sql,
         "text_profile": _TEXT_PROFILE_SQL,
+        "contamination_hits": """
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+  FROM w, UNNEST(range(1, len(w) - 6)) AS t(i)
+)
+SELECT CAST(grams.doc_id AS BIGINT) AS doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM grams
+JOIN (SELECT DISTINCT g FROM grams WHERE doc_id % 25 = 0) b USING (g)
+GROUP BY grams.doc_id""",
+        "repetition_profile": """
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+g AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+      FROM w, UNNEST(range(1, len(w) - 1)) AS t(i)),
+agg AS (SELECT doc_id, COUNT(*) AS total, COUNT(DISTINCT g) AS dist
+        FROM g GROUP BY 1)
+SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
+  ROUND(COALESCE(1.0 - CAST(dist AS DOUBLE) / total, 0.0), 6) AS rep3,
+  CAST(COALESCE(total, 0) AS BIGINT) AS n_gram3
+FROM w LEFT JOIN agg USING (doc_id)""",
         "dedup_exact_prefix": """
 WITH p AS (SELECT doc_id,
   md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS fp FROM documents)

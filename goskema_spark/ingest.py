@@ -114,11 +114,21 @@ def _walk(node, path: str, depth: int, opts: ParseOpts, issues: list,
         out = {}
         for k, v in node.pairs:
             kp = f"{path}/{escape_pointer_token(k)}"
-            if k in out and opts.on_duplicate_key != "ignore":
-                issues.append((kp, Codes.DUPLICATE_KEY,
-                               message_for(Codes.DUPLICATE_KEY), "duplicate_key"))
-                if opts.on_duplicate_key == "warn":
-                    pass  # recorded but later value still wins, like Warn severity
+            if k in out:
+                if opts.on_duplicate_key != "ignore":
+                    issues.append((kp, Codes.DUPLICATE_KEY,
+                                   message_for(Codes.DUPLICATE_KEY),
+                                   "duplicate_key"))
+                    # on 'warn' the later value still wins, like Warn severity
+                # last-wins applies to the presence map too: purge bits
+                # recorded by earlier occurrences (this key AND its
+                # subtree) so wire-type/null bits describe the kept value,
+                # not an OR across all occurrences — an accumulated
+                # STRING|INT would fake an anyOf ambiguous_match
+                pref = kp + "/"
+                for stale in [q for q in presence
+                              if q == kp or q.startswith(pref)]:
+                    del presence[stale]
             out[k] = _walk(v, kp, depth + 1, opts, issues, presence)
             bits = presence.get(kp, 0) | PRESENCE_SEEN | _wire_bits(v)
             if out[k] is None and not isinstance(out[k], (_Obj,)):

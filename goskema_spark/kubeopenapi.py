@@ -486,8 +486,10 @@ def _import_object(doc: dict, warns: list,
                         # was lost in the r4 move to field-level compile)
                         warns.append(
                             f"anyOf on {name!r}: branch type {t2!r} not "
-                            "scorable; treated as always-matching (every "
-                            "present value will count it as a match)")
+                            "scorable columnarly; treated as always-"
+                            "matching (every present value counts it as "
+                            "a match) unless the frame carries ingest "
+                            "wire-type bits, which CAN refute it")
                 if ambiguity == "error":
                     # documented columnar divergence (union_ambiguity.go
                     # valueMatchesType checks the WIRE type; a physical
@@ -586,67 +588,61 @@ class DuplicateKeyError(ValueError):
             f"(first at {first_line}:{first_col})")
 
 
-def _strict_node(node):
-    """yaml.compose node -> JSON-like value, refusing duplicate mapping
-    keys (reference yaml_strict.go:69-140 nodeToInterfaceStrict). A
-    duplicated key must never silently last-win — the same contract the
-    raw-JSON ingest path enforces via object_pairs_hook."""
+def _strict_loader_cls():
+    """SafeLoader subclass whose mapping constructor refuses duplicate
+    keys with 1-based first/dup line:col (reference yaml_strict.go:69-140
+    nodeToInterfaceStrict). Subclassing SafeLoader (instead of walking
+    compose() nodes by tag) keeps scalar resolution IDENTICAL to
+    yaml.safe_load — YAML 1.1 bools (yes/no/on/off), octal/hex ints,
+    .inf/.nan floats, timestamps — so strict=True changes only the
+    duplicate-key behavior, never a scalar's value."""
     import yaml
 
-    if node is None:
-        return None
-    if isinstance(node, yaml.MappingNode):
-        out, first = {}, {}
-        for k, v in node.value:
-            key = k.value
-            if key in first:
-                fl, fc = first[key]
-                raise DuplicateKeyError(key, fl, fc,
-                                        k.start_mark.line + 1,
-                                        k.start_mark.column + 1)
-            first[key] = (k.start_mark.line + 1, k.start_mark.column + 1)
-            out[key] = _strict_node(v)
-        return out
-    if isinstance(node, yaml.SequenceNode):
-        return [_strict_node(c) for c in node.value]
-    # scalar: resolve by tag, falling back to the raw string like the
-    # reference (yaml_strict.go:108-135)
-    tag = node.tag
-    v = node.value
-    if tag.endswith(":null"):
-        return None
-    if tag.endswith(":bool"):
-        return {"true": True, "false": False}.get(v.lower(), v)
-    if tag.endswith(":int"):
-        try:
-            return int(v, 0)
-        except ValueError:
-            return v
-    if tag.endswith(":float"):
-        try:
-            return float(v)
-        except ValueError:
-            return v
-    return v
+    class _StrictLoader(yaml.SafeLoader):
+        def construct_mapping(self, node, deep=False):
+            # resolve merge keys (<<) first, exactly as SafeLoader does,
+            # so merged-in keys are not misread as duplicates; flatten
+            # is a no-op on a second call
+            if isinstance(node, yaml.MappingNode):
+                self.flatten_mapping(node)
+            first = {}
+            for k_node, _ in node.value:
+                key = self.construct_object(k_node, deep=True)
+                try:
+                    hash(key)
+                except TypeError:
+                    key = str(key)
+                if key in first:
+                    fl, fc = first[key]
+                    raise DuplicateKeyError(
+                        key, fl, fc,
+                        k_node.start_mark.line + 1,
+                        k_node.start_mark.column + 1)
+                first[key] = (k_node.start_mark.line + 1,
+                              k_node.start_mark.column + 1)
+            return super().construct_mapping(node, deep=deep)
+
+    return _StrictLoader
 
 
 def strict_yaml_load_all(text) -> list:
     """Decode a multi-document YAML stream, erroring on duplicate mapping
     keys with first/dup line-col positions — the analog of the reference
     StrictYAMLReader.ReadAll (kubeopenapi/yaml_strict.go:28-67,
-    yaml_strict_test.go)."""
+    yaml_strict_test.go). A duplicated key must never silently last-win —
+    the same contract the raw-JSON ingest path enforces via
+    object_pairs_hook."""
     import yaml
 
     if isinstance(text, bytes):
         text = text.decode("utf-8")
-    return [_strict_node(n)
-            for n in yaml.compose_all(text, Loader=yaml.SafeLoader)]
+    return list(yaml.load_all(text, Loader=_strict_loader_cls()))
 
 
 def import_crd_yaml(text, kind: Optional[str] = None,
-                    name: Optional[str] = None,
                     ambiguity: str = "error",
-                    embedded_checks: bool = True,
+                    embedded_checks: bool = True, *,
+                    name: Optional[str] = None,
                     strict: bool = True) -> tuple:
     """Import a (possibly multi-document) CRD YAML bundle. `kind` selects
     the CRD whose spec.names.kind matches (reference ImportYAMLForCRDKind,

@@ -96,3 +96,32 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         fingerprint(t).alias("fp"),
         normalized_fingerprint(t).alias("fp_norm"),
     )
+
+
+def ngram_array(text: Column, n: int = 8) -> Column:
+    """Array of word n-grams (lowercased, space-joined) — the building
+    block for decontamination and repetition scoring. Short texts
+    (< n words) yield an EMPTY array: the sequence() bound must be
+    guarded, because Spark's sequence(1, 0) counts DOWN ([1, 0]), not
+    empty."""
+    w = words(F.lower(text))
+
+    def gram(i):
+        return F.concat_ws(" ", F.slice(w, i, n))
+
+    return F.when(
+        F.size(w) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(w) - (n - 1)), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_score(text: Column, n: int = 3) -> Column:
+    """Within-document repeated-n-gram ratio (Gopher-style repetition
+    quality filter, Rae et al. 2021): 1 - distinct/total n-grams. 0 for
+    texts shorter than n words. Pure Column expression — evaluates
+    inside the scan projection, no shuffle."""
+    g = ngram_array(text, n)
+    return F.when(
+        F.size(g) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / F.size(g),
+    ).otherwise(F.lit(0.0))

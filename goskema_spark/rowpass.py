@@ -211,6 +211,12 @@ def compile_checks(schema: TableSchema, df: DataFrame) -> CompiledChecks:
         for tag, var in d.variants.items():
             gate = dcol == F.lit(tag)
             if isinstance(var, TableSchema):
+                if var.or_refinements:
+                    # plain refinements compile below; Or-combinators do
+                    # not — refuse rather than silently skip the rule
+                    raise TypeError(
+                        f"variant '{tag}' declares or_refinements, which "
+                        "only compile at table level")
                 sub = CompiledChecks()
                 sub.presence = out.presence
                 for vf in sorted(var.fields, key=lambda x: x.name):
@@ -351,6 +357,15 @@ def _compile_object(sub: CompiledChecks, sub_schema: TableSchema, col: Column,
     """Compile an object schema's checks against a struct-valued Column
     (a nested column OR an array element), child paths rebased under `p`.
     Caller gates the result on the struct being present."""
+    if sub_schema.refinements or sub_schema.or_refinements:
+        # refinements live at TABLE level: their `violates` closures
+        # build Columns by top-level name and cannot be rebound to this
+        # struct — silently skipping the rule would be a correctness
+        # hole, so refuse loudly (declare the rule on the table schema
+        # with full nested paths instead)
+        raise TypeError(
+            f"nested schema at '{p}' declares refinements, which only "
+            "compile at table level — move the rule to the root schema")
     child_types = {sf.name: sf.dataType for sf in phys_struct.fields}
     declared = set(sub_schema.field_names())
     unknown = sorted(n for n in set(child_types) - declared
@@ -462,15 +477,20 @@ def _anyof_indicator(col: Column, branch: dict, field_is_object: bool,
     lossless-castability approximation."""
     t = branch.get("type")
     if t and not field_is_object:
+        # wire bits first: object/array branches have NO columnar probe
+        # (_json_type_match returns None -> accept), but the recorded
+        # wire type CAN refute them — consulting castability first would
+        # leave PRESENCE_WIRE_OBJECT/ARRAY dead and keep post-ingest
+        # anyOf[string,array] falsely ambiguous
         m = _json_type_match(col, t)
-        if m is None:
-            return F.lit(True)
         bit = _WIRE_BIT_FOR_TYPE.get(t)
         if wire is not None and bit is not None:
             has_wire = wire.isNotNull() & \
                 (wire.bitwiseAND(F.lit(_WIRE_BITS_ALL)) != 0)
-            return F.when(has_wire, wire.bitwiseAND(F.lit(bit)) != 0).otherwise(m)
-        return m
+            fallback = m if m is not None else F.lit(True)
+            return F.when(has_wire,
+                          wire.bitwiseAND(F.lit(bit)) != 0).otherwise(fallback)
+        return m if m is not None else F.lit(True)
     req = branch.get("required")
     if field_is_object and isinstance(req, list) and req:
         cond = F.lit(True)
@@ -771,8 +791,13 @@ def _compile_array(out: CompiledChecks, f: Field, col: Column, p, phys_type):
                 col, lambda t: elem_checks(t, F.lit(0)).any_violation())
         else:
             gate = None
+        # exactness propagates from the element check-set: a wide nested
+        # gate (e.g. an Or-combinator inside the element schema) makes
+        # this array gate wide too — claiming exact would let the clean
+        # path drop rows whose gate fired without any violation
         out.add_array(F.when(nn, F.flatten(F.transform(col, elem_obj_viols)))
-                      .otherwise(empty), gate=gate)
+                      .otherwise(empty), gate=gate,
+                      exact=probe.gate_is_exact())
 
     # x-kubernetes-list-type: set — within-row element uniqueness
     # (reference kubeopenapi/list.go:20-40 setChecker, code duplicate_item)
@@ -792,7 +817,13 @@ def _compile_array(out: CompiledChecks, f: Field, col: Column, p, phys_type):
                 violation(idx_path(i), Codes.DUPLICATE_ITEM, rule="list_set_unique",
                           params={"first": first, "dup": i, "key": t},
                           message="duplicate element in set"))
-        has_dup = F.size(F.array_distinct(col)) < F.size(col)
+        # gate over NON-NULL elements only: attribution skips nulls (no
+        # stable array_position for null), so a null-only duplicate must
+        # not trip the gate — a wide-but-empty gate would silently drop
+        # the row from the exact-gate clean path (neither clean nor
+        # violating). Null elements are the element schema's concern.
+        nn_elems = F.filter(col, lambda t: t.isNotNull())
+        has_dup = F.size(F.array_distinct(nn_elems)) < F.size(nn_elems)
         out.add_array(F.when(nn & has_dup,
                              F.filter(F.transform(col, set_dup),
                                       lambda x: x.isNotNull())).otherwise(empty),
@@ -814,8 +845,13 @@ def _compile_array(out: CompiledChecks, f: Field, col: Column, p, phys_type):
                           params={"first": first, "dup": i},
                           message="duplicate element in list-map by keys"))
         # same O(n) existence gate as list_set: quadratic attribution
-        # only runs on rows that actually contain a duplicate key
-        has_key_dup = F.size(F.array_distinct(keys_arr)) < F.size(keys_arr)
+        # only runs on rows that actually contain a duplicate key.
+        # Keys of NULL elements are excluded (attribution skips null
+        # elements) so the gate stays exact — see list_set above.
+        nn_keys = F.transform(
+            F.filter(col, lambda t: t.isNotNull()),
+            lambda e: F.struct(*[e.getField(k).alias(k) for k in keys]))
+        has_key_dup = F.size(F.array_distinct(nn_keys)) < F.size(nn_keys)
         out.add_array(F.when(nn & has_key_dup,
                              F.filter(F.transform(col, map_dup),
                                       lambda x: x.isNotNull())).otherwise(empty),

@@ -124,8 +124,10 @@ def streaming_unique_violations(stream_df: DataFrame, key_col: str = "doc_id",
     divergence from a global batch sort — exact late handling would
     need per-key ordinal retention, unbounded state).
 
-    State: ONE long per distinct key. Without a TTL that is bounded only
-    by the DISTINCT-key cardinality — fine for a replayed bounded corpus,
+    State: ONE long per distinct key (first ordinal); with a TTL, two
+    (plus the key's max event time, so late batches cannot shrink the
+    eviction deadline). Without a TTL state is bounded only by the
+    DISTINCT-key cardinality — fine for a replayed bounded corpus,
     unbounded on a true unbounded key stream. For the latter pass
     `ts_col` + `state_ttl` (e.g. '1 hour'): the stream is watermarked on
     ts_col by the TTL and each key's state carries an event-time timeout
@@ -151,10 +153,17 @@ def streaming_unique_violations(stream_df: DataFrame, key_col: str = "doc_id",
         T.StructField("first_ord", T.LongType()),
         T.StructField("code", T.StringType()),
     ])
-    state_t = T.StructType([T.StructField("first", T.LongType())])
     ttl_ms = _duration_ms(state_ttl) if state_ttl else None
     if ttl_ms is not None and ts_col is None:
         raise ValueError("state_ttl requires ts_col (event-time column)")
+    # with a TTL the state also keeps the key's max event time seen so
+    # far: the timeout must never shrink when a batch of LATE (but
+    # in-watermark) rows arrives, or the key is evicted before the
+    # documented (max event time) + TTL deadline
+    fields = [T.StructField("first", T.LongType())]
+    if ttl_ms is not None:
+        fields.append(T.StructField("max_ts", T.LongType()))
+    state_t = T.StructType(fields)
     empty_cols = [key_col, "dup_ord", "first_ord", "code"]
 
     def track(key, pdfs, state):
@@ -175,7 +184,10 @@ def streaming_unique_violations(stream_df: DataFrame, key_col: str = "doc_id",
                     ms = int(pd.Timestamp(mx).value // 1_000_000)
                     max_ts_ms = ms if max_ts_ms is None else max(max_ts_ms, ms)
         ords.sort()
-        first = state.get[0] if state.exists else None
+        prior = state.get if state.exists else None
+        first = prior[0] if prior is not None else None
+        prev_max = (prior[1] if prior is not None and len(prior) > 1
+                    else None)
         rows = []
         for o in ords:
             if first is None:
@@ -183,13 +195,20 @@ def streaming_unique_violations(stream_df: DataFrame, key_col: str = "doc_id",
             elif o != first:
                 rows.append((key[0], o, first, "uniqueness"))
         if first is not None:  # all-null ordinals: nothing to remember
-            state.update((first,))
-            if ttl_ms is not None:
+            if ttl_ms is None:
+                state.update((first,))
+            else:
+                # carry the running max event time: a late-row batch must
+                # never LOWER the eviction deadline below the already-
+                # promised (max seen so far) + TTL
+                seen = [x for x in (prev_max, max_ts_ms) if x is not None]
+                keep_max = max(seen) if seen else None
+                state.update((first, keep_max))
                 # timeout fires once the watermark (ts_col max - TTL)
-                # passes (key's own max event time + TTL); must stay
+                # passes (key's max event time + TTL); must stay
                 # strictly above the current watermark or Spark rejects it
                 wm = state.getCurrentWatermarkMs()
-                base = max_ts_ms if max_ts_ms is not None else wm
+                base = keep_max if keep_max is not None else wm
                 state.setTimeoutTimestamp(max(base + ttl_ms, wm + 1))
         yield pd.DataFrame(rows, columns=empty_cols)
 

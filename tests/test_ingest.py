@@ -308,3 +308,35 @@ def test_ingest_nested_default_applied(spark):
     rows = {r["id"]: r for r in ingest_json(df, sch).collect()}
     assert rows["a"]["cfg"]["mode"] == "std"   # default materialized
     assert rows["b"]["cfg"]["mode"] == "hot"   # explicit wins
+
+
+def test_duplicate_key_wire_bits_last_wins(spark):
+    """Wire-type bits describe the KEPT (last-wins) value, not an OR
+    across all duplicate occurrences: '{"a":"x","a":1}' must record
+    INT|NUMBER only — an accumulated STRING|INT would fake an anyOf
+    ambiguous_match against the reference's last-wins semantics. Nested
+    presence recorded under an earlier occurrence's subtree is purged
+    too."""
+    from goskema_spark.ingest import (
+        PRESENCE_SEEN, PRESENCE_WIRE_INT, PRESENCE_WIRE_NUMBER,
+        PRESENCE_WIRE_OBJECT, PRESENCE_WIRE_STRING,
+    )
+    sch = S.table(S.field("doc_id", "string", required=True),
+                  S.field("a", "int64"),
+                  unknown="strip")
+    docs = ['{"doc_id":"d1","a":"x","a":1}',
+            '{"doc_id":"d2","a":{"x":1},"a":2}']
+    raw = spark.createDataFrame(
+        [(d,) for d in docs],
+        T.StructType([T.StructField("payload", T.StringType(), False)]))
+    parsed = ingest_json(raw, sch, opts=ParseOpts(on_duplicate_key="warn"))
+    rows = {r["doc_id"]: r["_presence"] for r in parsed.collect()}
+    p1 = rows["d1"]["/a"]
+    assert p1 & PRESENCE_WIRE_INT and p1 & PRESENCE_WIRE_NUMBER
+    assert not p1 & PRESENCE_WIRE_STRING
+    p2 = rows["d2"]["/a"]
+    assert p2 & PRESENCE_WIRE_INT and not p2 & PRESENCE_WIRE_OBJECT
+    # the first occurrence's subtree is gone from the presence map
+    assert "/a/x" not in rows["d2"]
+    # the duplicate itself is still reported (warn severity, last wins)
+    assert rows["d1"]["/a"] & PRESENCE_SEEN

@@ -811,3 +811,102 @@ def test_import_crd_yaml_strict_duplicate_key():
         import_crd_yaml(dup, name="gadgets.example.com")
     sch, _ = import_crd_yaml(dup, name="gadgets.example.com", strict=False)
     assert sch is not None
+
+
+def test_strict_yaml_scalars_match_safe_load():
+    """strict=True must change ONLY duplicate-key behavior: YAML 1.1
+    scalars (yes/no/on/off bools, octal ints, .inf floats) resolve
+    exactly as yaml.safe_load does. A hand-rolled tag switch that maps
+    only 'true'/'false' turns 'no' into a truthy string — and a
+    'served: no' CRD version would wrongly import."""
+    import yaml
+    text = ("a: yes\nb: no\nc: on\nd: off\ne: 0777\nf: .inf\n"
+            "g: ~\nh: 2024-01-01\n")
+    from goskema_spark.kubeopenapi import strict_yaml_load_all
+    assert strict_yaml_load_all(text) == [yaml.safe_load(text)]
+    assert strict_yaml_load_all(text)[0]["b"] is False
+
+
+def test_strict_import_skips_served_no_version():
+    """A version with `served: no` (YAML 1.1 bool) is skipped in favor
+    of a served one, identically under strict and permissive decode."""
+    crd = """\
+apiVersion: apiextensions.k8s.io/v1
+kind: CustomResourceDefinition
+metadata:
+  name: things.example.com
+spec:
+  names:
+    kind: Thing
+  versions:
+    - name: v1
+      served: no
+      schema:
+        openAPIV3Schema:
+          type: object
+          properties:
+            spec:
+              type: object
+              properties:
+                old_prop: {type: string}
+    - name: v2
+      served: yes
+      schema:
+        openAPIV3Schema:
+          type: object
+          properties:
+            spec:
+              type: object
+              properties:
+                new_prop: {type: string}
+"""
+    for strict in (True, False):
+        sch, _ = import_crd_yaml(crd, kind="Thing", strict=strict)
+        spec = {f.name: f for f in sch.fields}["spec"]
+        assert {f.name for f in spec.dtype.fields} == {"new_prop"}, strict
+
+
+def test_import_crd_yaml_positional_compat():
+    """The r5 `name`/`strict` parameters are keyword-only: the original
+    positional order (text, kind, ambiguity, embedded_checks) still
+    binds — a caller passing ambiguity third must not have it swallowed
+    by a new parameter."""
+    sch, _ = import_crd_yaml(_BUNDLE, "Widget", "first_match", True)
+    assert {f.name for f in sch.fields} == {"spec"}
+
+
+def test_anyof_array_branch_wire_refutation(spark):
+    """PRESENCE_WIRE_OBJECT/ARRAY are live: an object/array-typed anyOf
+    branch has no columnar probe (treated always-matching), but the
+    ingest-recorded wire type CAN refute it — a wire STRING under
+    anyOf[string,array] matches exactly ONE branch post-ingest instead
+    of staying falsely ambiguous."""
+    sch, _ = import_openapi({
+        "type": "object",
+        "properties": {
+            "id": {"type": "string"},
+            "target": {"anyOf": [{"type": "string"},
+                                 {"type": "array",
+                                  "items": {"type": "string"}}]},
+        },
+        "required": ["id"],
+    })
+    sch.unknown = "strip"
+    raw = spark.createDataFrame(
+        [('{"id":"a","target":"hello"}',)],
+        T.StructType([T.StructField("payload", T.StringType(), False)]))
+    parsed = ingest_json(raw, sch)
+    _, viols, _ = validate_rows(parsed, sch, F.col("id"))
+    got = {(r["row_id"], r["code"]) for r in viols.collect()
+           if r["code"] in ("no_match", "ambiguous_match")}
+    assert got == set()
+
+    # columnar-only control: the array branch is unscorable -> counts as
+    # a match alongside string -> ambiguous (documented approximation)
+    df = spark.createDataFrame(
+        [("a", "hello")],
+        T.StructType([T.StructField("id", T.StringType()),
+                      T.StructField("target", T.StringType())]))
+    _, viols2, _ = validate_rows(df, sch, F.col("id"))
+    got2 = {(r["row_id"], r["code"]) for r in viols2.collect()}
+    assert ("a", "ambiguous_match") in got2

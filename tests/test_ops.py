@@ -264,3 +264,42 @@ def test_ivf_topk_recall(spark):
     r1 = refine_centroids(emb, c1, steps=1)
     r2 = refine_centroids(emb, c2, steps=1)
     assert r1 == r2
+
+
+def test_repetition_score(spark):
+    """Gopher-style repeated-n-gram ratio: 'a b a b a b' has 4 trigram
+    slots but only 2 distinct -> 0.5; a text shorter than n words yields
+    an EMPTY gram array (Spark's sequence(1, 0) counts DOWN — the bound
+    must be guarded) and score 0."""
+    from goskema_spark.ops.textops import ngram_array, repetition_score
+    df = spark.createDataFrame(
+        [("r", "a b a b a b"), ("short", "a b"), ("uniq", "w x y z")],
+        "id string, text string")
+    got = {r["id"]: (r["rep"], r["ng"]) for r in df.select(
+        "id", F.round(repetition_score(F.col("text"), 3), 6).alias("rep"),
+        F.size(ngram_array(F.col("text"), 3)).alias("ng")).collect()}
+    assert got == {"r": (0.5, 4), "short": (0.0, 0), "uniq": (0.0, 2)}
+
+
+def test_contamination_hits(spark):
+    """8-gram overlap vs a broadcast benchmark set: a doc sharing a full
+    8-gram window with a benchmark doc is flagged with the count of
+    DISTINCT shared grams; disjoint docs produce no row."""
+    from goskema_spark.ops.decontam import contamination_hits
+    bench_text = "one two three four five six seven eight nine"
+    docs = spark.createDataFrame(
+        [(1, "zzz one two three four five six seven eight tail"),
+         (2, "totally different words with no overlap at all here"),
+         (3, bench_text)],
+        "doc_id bigint, text string")
+    bench = spark.createDataFrame([(99, bench_text)],
+                                  "doc_id bigint, text string")
+    got = {r["doc_id"]: r["n_hits"]
+           for r in contamination_hits(docs, bench, n=8).collect()}
+    # doc 1 contains exactly one benchmark 8-gram (one..eight); doc 3 IS
+    # the benchmark text (both its 8-grams match); doc 2 is clean
+    assert got == {1: 1, 3: 2}
+    # the bench side must be broadcast (no shuffle of the big side on g)
+    plan = contamination_hits(docs, bench, n=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

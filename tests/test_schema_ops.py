@@ -414,3 +414,91 @@ def test_decimal_high_precision_boundary(spark):
     _, viols, _ = validate_rows(df, sch, F.col("id"))
     got = {(r["row_id"], r["rule"]) for r in viols.collect()}
     assert got == {("over", "decimal_range"), ("scale", "decimal_scale")}
+
+
+def test_list_set_null_elements_stay_clean(spark):
+    """Duplicate NULL elements must not trip the list_set gate: the
+    attribution skips nulls (array_position has no stable answer for
+    null), so a wide gate would leave ['x', None, None] with zero
+    violations yet excluded from the exact-gate clean path — the row
+    silently vanishing from BOTH outputs. Null-filtered gate keeps the
+    gate exact; real duplicates still flag."""
+    sch = S.table(
+        S.field("rid", "string", required=True),
+        S.field("xs", S.array("string", list_set=True, elem_nullable=True)))
+    df = spark.createDataFrame(
+        [("nulls", ["x", None, None]),
+         ("clean", ["a", "b"]),
+         ("dup", ["a", None, "a"])],
+        "rid string, xs array<string>")
+    ann, viols, clean = validate_rows(df, sch, F.col("rid"))
+    assert {r["row_id"] for r in viols.collect()} == {"dup"}
+    # the null-only-duplicate row is CLEAN, not lost
+    assert {r["rid"] for r in clean.collect()} == {"nulls", "clean"}
+    # conservation: every input row is exactly clean or violating
+    flagged = {r["rid"]: len(r["_violations"]) for r in ann.collect()}
+    assert flagged == {"nulls": 0, "clean": 0, "dup": 1}
+
+
+def test_list_map_null_elements_stay_clean(spark):
+    """Same exact-gate guarantee for list_map_keys: NULL elements (whose
+    key struct would be all-null) are excluded from the duplicate-key
+    existence gate, so a row with two null elements has zero violations
+    AND stays in the clean output."""
+    elem = S.table(S.field("k", "string"), S.field("v", "int64"))
+    sch = S.table(
+        S.field("rid", "string", required=True),
+        S.field("xs", S.array(elem_schema=elem, list_map_keys=["k"],
+                              elem_nullable=True)))
+    df = spark.createDataFrame(
+        [("nulls", [{"k": "a", "v": 1}, None, None]),
+         ("dup", [{"k": "a", "v": 1}, {"k": "a", "v": 2}])],
+        "rid string, xs array<struct<k:string,v:bigint>>")
+    _, viols, clean = validate_rows(df, sch, F.col("rid"))
+    assert {r["row_id"] for r in viols.collect()} == {"dup"}
+    assert "nulls" in {r["rid"] for r in clean.collect()}
+
+
+def test_nested_refinements_fail_loudly(spark):
+    """Refinements/Or-combinators live at TABLE level (their `violates`
+    closures build Columns by top-level name and cannot be rebound to a
+    struct or array element): a nested schema carrying one must raise,
+    not silently skip the rule."""
+    import pytest
+    from goskema_spark.rowpass import compile_checks
+
+    elem = S.table(S.field("a", "int64"))
+    elem.refine("a_pos", violates=lambda: F.col("a") < 0, path="/a")
+    sch = S.table(
+        S.field("rid", "string", required=True),
+        S.field("xs", S.array(elem_schema=elem)))
+    df = spark.createDataFrame([("r1", [{"a": 1}])],
+                               "rid string, xs array<struct<a:bigint>>")
+    with pytest.raises(TypeError, match="refinements"):
+        compile_checks(sch, df)
+
+    nested = S.table(S.field("a", "int64"))
+    nested.or_refine("x", [[S.Refinement(
+        name="a_set", path="/a", code="business_rule",
+        violates=lambda: F.col("a").isNull())]])
+    sch2 = S.table(S.field("rid", "string", required=True),
+                   S.field("obj", nested))
+    df2 = spark.createDataFrame([("r1", {"a": 1})],
+                                "rid string, obj struct<a:bigint>")
+    with pytest.raises(TypeError, match="refinements"):
+        compile_checks(sch2, df2)
+
+
+def test_wide_array_gate_breaks_exactness():
+    """gate_is_exact is the clean-path contract: ONE wide array check
+    (gate may fire with an empty violations array) must flip it, or
+    validate_rows' gate-only clean filter would drop violation-free
+    rows."""
+    from pyspark.sql import functions as F2
+    from goskema_spark.rowpass import _VIOL_ARR_DDL, CompiledChecks
+
+    c = CompiledChecks()
+    c.add_array(F2.array().cast(_VIOL_ARR_DDL), gate=F2.lit(True), exact=True)
+    assert c.gate_is_exact()
+    c.add_array(F2.array().cast(_VIOL_ARR_DDL), gate=F2.lit(True), exact=False)
+    assert not c.gate_is_exact()

@@ -255,3 +255,52 @@ def test_streaming_unique_state_ttl_evicts_and_readmits(spark):
         assert state_rows and state_rows[-1] <= 3
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_unique_ttl_late_batch_keeps_deadline(spark):
+    """A batch of LATE (in-watermark) rows must not SHRINK a key's
+    eviction deadline: the state carries the running max event time, so
+    the timeout stays (max seen) + TTL. Without it, K first-seen at
+    10:00 then receiving a late 09:00 row would re-arm its timeout an
+    hour early and a true duplicate at 10:25 would be silently
+    re-admitted as a new first."""
+    import datetime as dt
+    from pyspark.sql import types as T
+    from goskema_spark.streaming import streaming_unique_violations
+
+    def t(h, m=0):
+        return dt.datetime(2026, 1, 1, h, m)
+
+    tmp = tempfile.mkdtemp()
+    try:
+        schema_t = T.StructType([T.StructField("doc_id", T.StringType()),
+                                 T.StructField("_ord", T.LongType()),
+                                 T.StructField("ts", T.TimestampType())])
+        batches = [
+            [("K", 0, t(10))],            # deadline -> 11:00
+            [("K", 1, t(9))],             # LATE row: deadline must stay 11:00
+            [("z", 10, t(11, 20))],       # advances watermark to 10:20
+            [("K", 2, t(10, 25))],        # wm 10:20 < 11:00: K still live
+        ]
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema_t).coalesce(1) \
+                .write.parquet(f"{tmp}/in/b{i + 1}")
+        stream = (spark.readStream.schema(schema_t)
+                  .option("maxFilesPerTrigger", "1")
+                  .option("recursiveFileLookup", "true")
+                  .parquet(f"{tmp}/in"))
+        q = (streaming_unique_violations(stream, ts_col="ts",
+                                         state_ttl="1 hour")
+             .writeStream.format("memory").queryName("uniq_ttl_late")
+             .outputMode("update")
+             .option("checkpointLocation", f"{tmp}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        got = {(r["doc_id"], r["dup_ord"], r["first_ord"])
+               for r in spark.sql("select * from uniq_ttl_late").collect()}
+        # the late row itself is flagged, AND the post-deadline-shrink
+        # duplicate is STILL flagged against the original first
+        assert ("K", 1, 0) in got
+        assert ("K", 2, 0) in got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
