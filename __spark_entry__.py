@@ -661,6 +661,56 @@ def _q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "session_start", "session_end", "n_events", "sum_value")
 
 
+# deterministic PII injection for the pii_profile oracle pair: the
+# synthetic corpus contains no PII, so both engines append the SAME
+# snippets to the SAME doc_id slices before detecting/redacting
+_PII_SNIPPETS = [
+    (11, " mail user7@corp.example.com now"),
+    (13, " from 10.1.2.3 host"),
+    (17, " call 555-123-4567 today"),
+]
+
+
+def _q_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact (pure regexp projection) over the documents
+    table with deterministic injected identifiers."""
+    from goskema_spark.ops.pii import pii_profile
+    inj = F.lit("")
+    for mod, snippet in reversed(_PII_SNIPPETS):
+        inj = F.when(F.col("doc_id") % mod == 0, F.lit(snippet)).otherwise(inj)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), inj).alias("text"))
+    prof = pii_profile(docs)
+    return prof.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_email", "n_ipv4", "n_ssn", "n_phone", "has_pii", "text_redacted")
+
+
+def _q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: min-label-propagation connected
+    components over the minhash LSH candidate pairs."""
+    from goskema_spark.ops.cluster import dedup_groups
+    from goskema_spark.ops.dedup import minhash_candidate_pairs
+    pairs = minhash_candidate_pairs(_docs(spark, sf_dir))
+    return dedup_groups(pairs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("group_id").cast("bigint").alias("group_id"),
+        "keep")
+
+
+def _q_chunk_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk token offsets (two-phase distributed prefix sum)
+    with a 64-token context window."""
+    from goskema_spark.ops.pack import chunk_assignments
+    out = chunk_assignments(_docs(spark, sf_dir), chunk_tokens=64)
+    return out.select(
+        "source", F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        F.col("tok_offset").cast("bigint").alias("tok_offset"),
+        F.col("first_chunk").cast("bigint").alias("first_chunk"),
+        F.col("last_chunk").cast("bigint").alias("last_chunk"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rowpass_violations": _q_rowpass,
@@ -698,6 +748,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": _q_stratified_sample,
         "quota_top2_per_source": _q_quota_topk,
         "sessionize_events": _q_sessions,
+        "pii_profile": _q_pii_profile,
+        "dedup_groups": _q_dedup_groups,
+        "chunk_assignments": _q_chunk_assignments,
     }
 
 
@@ -790,6 +843,31 @@ WHERE substr(md5('gsk|' || CAST(doc_id AS VARCHAR)), 1, 8) <
   CASE WHEN source = 'src0' THEN '{_hex_threshold(0.5)}'
        WHEN source = 'src1' THEN '{_hex_threshold(0.1)}'
        ELSE '{_hex_threshold(0.02)}' END"""
+
+
+def _pii_sql() -> str:
+    """DuckDB twin of _q_pii_profile: patterns come verbatim from
+    PII_PATTERNS (RE2-safe by construction) so both engines match the
+    SAME regexes; the oracle redacts unconditionally, which equals the
+    Spark side's when(has_pii, ...) because regexp_replace with no
+    matches is the identity."""
+    from goskema_spark.ops.pii import PII_PATTERNS
+    case = " ".join(f"WHEN doc_id % {m} = 0 THEN '{s}'"
+                    for m, s in _PII_SNIPPETS)
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_{k}"
+        for k, p in PII_PATTERNS)
+    red = "text"
+    for k, p in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{p}', '<{k.upper()}>', 'g')"
+    return f"""
+WITH t AS (
+  SELECT doc_id, text || CASE {case} ELSE '' END AS text FROM documents),
+c AS (SELECT doc_id, text, {counts} FROM t)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_email, n_ipv4, n_ssn, n_phone,
+  (n_email + n_ipv4 + n_ssn + n_phone) > 0 AS has_pii,
+  {red} AS text_redacted
+FROM c"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1119,4 +1197,31 @@ SELECT c.source,
        CAST(SUM(c.n_tok) AS BIGINT) AS ntok_sum
 FROM corpus c ANTI JOIN bad b ON c._ord = b._ord
 GROUP BY c.source"""),
+        "pii_profile": _pii_sql(),
+        "dedup_groups": f"""
+WITH RECURSIVE {_minhash_ctes()},
+cand AS ({_MINHASH_PAIRS}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+          UNION SELECT id_b, id_a FROM cand),
+reach AS (
+  SELECT src AS node, dst AS r FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(LEAST(node, MIN(r)) AS BIGINT) AS group_id,
+       node = LEAST(node, MIN(r)) AS keep
+FROM reach GROUP BY node""",
+        "chunk_assignments": """
+WITH t AS (SELECT source, doc_id,
+           len(string_split(text, ' ')) AS n_tok FROM documents),
+o AS (SELECT source, doc_id, n_tok,
+  COALESCE(SUM(n_tok) OVER (ORDER BY source, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM t)
+SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(n_tok AS BIGINT) AS n_tok, CAST(off AS BIGINT) AS tok_offset,
+  CAST(FLOOR(off / 64.0) AS BIGINT) AS first_chunk,
+  CAST(FLOOR((off + GREATEST(n_tok - 1, 0)) / 64.0) AS BIGINT) AS last_chunk
+FROM o""",
     }

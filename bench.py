@@ -32,8 +32,21 @@ def get_spark(cpus: int) -> SparkSession:
     # depressing the measured N->4N efficiency. A real cluster's N-core
     # executor garbage-collects with N cores; this makes the local proxy
     # faithful to that.
+    # Fixed pre-touched heap (-Xms=-Xmx + AlwaysPreTouch): with a growable
+    # heap, G1 expands/shrinks between runs and the kernel re-zeroes the
+    # returned pages MID-MEASUREMENT — vmstat shows minute-long storms of
+    # ~25% all-system CPU time (us=1 sy=23) with zero disk I/O while the
+    # worker threads sit in page-fault handlers. Allocation-heavy jobs
+    # (full_validation) were unstable while the low-allocation rowpass
+    # kernel was not, exactly this signature. Pre-committing the heap at
+    # JVM startup moves all zeroing before the warm run (~5s one-time,
+    # outside every timed window) and matches production executor
+    # practice, where spark.executor.memory is a fixed heap.
+    mem = os.environ.get("GSK_DRIVER_MEM", "24g")
     gc_opts = (f"-XX:ParallelGCThreads={max(2, cpus)} "
-               f"-XX:ConcGCThreads={max(1, cpus // 4)}")
+               f"-XX:ConcGCThreads={max(1, cpus // 4)} "
+               f"-Xms{mem} -XX:+AlwaysPreTouch "
+               + os.environ.get("GSK_XJAVA", ""))
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("goskema_spark_bench")
@@ -49,7 +62,7 @@ def get_spark(cpus: int) -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("GSK_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -120,7 +133,8 @@ def main():
         # per-partition counts) as parquet — the durable output — and the
         # violations/verdicts DataFrames are column-pruned reads of it
         res = validate(load(), schema, row_id_col(), dims={"dim_source": dim},
-                       report_path="/tmp/gsk_bench_report.parquet",
+                       report_path=os.environ.get(
+                           "GSK_REPORT_PATH", "/tmp/gsk_bench_report.parquet"),
                        report_partitions=CPUS)
         res.violations.write.format("noop").mode("overwrite").save()
         res.verdicts.write.format("noop").mode("overwrite").save()

@@ -1,0 +1,81 @@
+"""Duplicate-cluster assignment: connected components over a candidate /
+verified pair list.
+
+Dedup pipelines produce PAIRS (minhash/simhash/embedding near-dups); to
+actually drop duplicates you need CLUSTERS — every document labelled with
+its component's canonical id (the minimum doc id reachable through any
+chain of pairs), so `keep = (doc_id == group_id)` picks one survivor per
+transitive duplicate family.
+
+Scale story (100 TB corpus, pair list ~ O(dup rate x corpus)): min-label
+propagation — each round joins the current labels across the edge list
+and takes the per-node MIN (one shuffle on node id per round), stopping
+when a round changes nothing. Rounds needed = graph diameter; duplicate
+clusters in practice are small and dense (near-cliques out of LSH
+banding), so this converges in 2-4 rounds where the textbook
+large-star/small-star O(log n) machinery would spend the same shuffles
+on bookkeeping. Each round `localCheckpoint`s the label relation:
+without it the plan doubles per iteration and the job dies of lineage,
+not of data. The driver never sees row data — convergence is decided by
+a count of changed labels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """(node, group_id) for every node in `pairs`, where group_id is the
+    smallest node id in the node's connected component.
+
+    `pairs` is an undirected edge list (one row per pair, either
+    orientation). Raises after `max_iter` rounds without convergence —
+    a duplicate graph needing >20 rounds of min propagation has a
+    ~million-hop chain and deserves a look, not silence."""
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionByName(
+                 pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+             .distinct())
+    edges = edges.localCheckpoint(eager=True)
+
+    # seed: every node labelled min(self, direct neighbors) — folds the
+    # first propagation round into the seed aggregate
+    labels = (edges
+              .groupBy(F.col("src").alias("node"))
+              .agg(F.least(F.min("dst"), F.first("src")).alias("group_id"))
+              .localCheckpoint(eager=True))
+
+    for _ in range(max_iter):
+        # candidate label for each node: min label among its neighbors
+        neighbor_min = (edges
+                        .join(labels.withColumnRenamed("node", "dst"), "dst")
+                        .groupBy(F.col("src").alias("node"))
+                        .agg(F.min("group_id").alias("n_min")))
+        nxt = (labels.join(neighbor_min, "node", "left")
+               .select("node",
+                       F.least("group_id", "n_min").alias("group_id"))
+               .localCheckpoint(eager=True))
+        changed = (nxt.join(labels.withColumnRenamed("group_id", "old"), "node")
+                   .filter(F.col("group_id") < F.col("old"))
+                   .limit(1).count())
+        labels = nxt
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components: no convergence after {max_iter} rounds "
+        "(component diameter exceeds the round budget)")
+
+
+def dedup_groups(pairs: DataFrame, id_a: str = "id_a",
+                 id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """(doc_id, group_id, keep): cluster assignment for every document
+    that appears in `pairs`. `keep` marks the canonical survivor (the
+    minimum doc id of the cluster); filtering a corpus to
+    `keep OR not-in-pairs` implements transitive near-dup removal."""
+    comp = connected_components(pairs, id_a, id_b, max_iter)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "group_id",
+        (F.col("node") == F.col("group_id")).alias("keep"))

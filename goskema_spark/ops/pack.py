@@ -1,0 +1,100 @@
+"""GPT-style concat-and-chunk assignment: give every document its token
+offset in the virtual concatenation of the corpus (ordered by a
+deterministic key) and the range of fixed-size context windows it lands
+in. This is the exact data layout of autoregressive pretraining loaders
+(documents concatenated, split into ctx-length chunks), computed as
+table columns so shard/window assignment becomes a plain filter/groupBy.
+
+Scale story (100 TB): a global running sum is the textbook two-phase
+distributed prefix sum —
+  1. range-repartition + sort on the order key (one shuffle, the same
+     sort a training-shard writer needs anyway),
+  2. per-partition token totals via ONE tiny aggregate (P rows — P =
+     #partitions, not #rows — collected and turned into exclusive
+     per-partition base offsets on the driver),
+  3. an Arrow-batched mapInPandas cumulative sum within each partition,
+     seeded with that partition's base offset (sequential inside a
+     partition, all partitions in parallel).
+The result is invariant to the partition boundaries the range
+partitioner samples, because prefix sums compose: only the total order
+(order_cols) defines the offsets.
+
+A window `SUM() OVER (ORDER BY ...)` computes the same thing on one
+task — correct, and the oracle uses it — but a single-task sort of the
+whole corpus is exactly what does not survive 100x.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .textops import token_count_ws
+
+
+def chunk_assignments(df: DataFrame, chunk_tokens: int,
+                      order_cols: tuple[str, ...] = ("source", "doc_id"),
+                      text_col: str = "text",
+                      num_parts: int | None = None) -> DataFrame:
+    """order_cols + (n_tok, tok_offset, first_chunk, last_chunk):
+    tok_offset is the document's start position in the corpus-wide token
+    stream ordered by order_cols; first/last_chunk are the indices of
+    the chunk_tokens-sized windows the document overlaps (a document may
+    straddle a boundary — that is the semantics of concat-and-chunk).
+    Zero-token documents occupy no chunk: first_chunk = last_chunk = the
+    chunk their offset falls in."""
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    sc = df.sparkSession.sparkContext
+    # null text counts as 0 tokens (a NaN would poison the running sum)
+    base = df.select(*order_cols,
+                     F.coalesce(token_count_ws(F.col(text_col)), F.lit(0))
+                     .cast("long").alias("n_tok"))
+    if num_parts is None:
+        num_parts = base.rdd.getNumPartitions()
+    parts = (base.repartitionByRange(num_parts, *order_cols)
+             .sortWithinPartitions(*order_cols)
+             .withColumn("_pid", F.spark_partition_id()))
+    parts = parts.localCheckpoint(eager=True)
+
+    # phase 2: per-partition totals -> exclusive base offsets (P rows)
+    totals = {r["_pid"]: r["tot"] for r in
+              parts.groupBy("_pid").agg(F.sum("n_tok").alias("tot")).collect()}
+    bases, acc = {}, 0
+    for pid in sorted(totals):
+        bases[pid] = acc
+        acc += totals[pid]
+    bases_bc = sc.broadcast(bases)
+
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}"
+         for f in parts.schema.fields if f.name != "_pid"]
+        + ["tok_offset long"])
+
+    def cumsum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one partition per call; running state carries across the
+        # Arrow batches the partition arrives in
+        running = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf = pdf.drop(columns=["_pid"])
+                pdf["tok_offset"] = pd.Series([], dtype="int64")
+                yield pdf
+                continue
+            if running is None:
+                running = int(bases_bc.value.get(int(pdf["_pid"].iloc[0]), 0))
+            ends = pdf["n_tok"].cumsum() + running
+            running = int(ends.iloc[-1])
+            pdf = pdf.drop(columns=["_pid"])
+            pdf["tok_offset"] = (ends - pdf["n_tok"]).astype("int64")
+            yield pdf
+
+    offs = parts.mapInPandas(cumsum, out_schema)
+    last_tok = F.col("tok_offset") + F.greatest(F.col("n_tok") - 1, F.lit(0))
+    return offs.select(
+        *order_cols, "n_tok", "tok_offset",
+        F.floor(F.col("tok_offset") / chunk_tokens).cast("long")
+        .alias("first_chunk"),
+        F.floor(last_tok / chunk_tokens).cast("long").alias("last_chunk"))
