@@ -42,7 +42,10 @@ def run_bench(cpus: int, replicate: int, runs: int = 2) -> dict:
     })
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=3600, check=True,
+        # 2h: the FIRST big-heap JVM after a host-idle gap can spend tens
+        # of minutes in AlwaysPreTouch while the host provisions pages at
+        # ~15-20 MB/s; subsequent JVMs reuse host-backed pages in seconds
+        env=env, capture_output=True, text=True, timeout=7200, check=True,
     )
     line = [ln for ln in out.stdout.splitlines() if ln.strip().startswith("{")][-1]
     return json.loads(line)
