@@ -711,6 +711,64 @@ def _q_chunk_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_chunk").cast("bigint").alias("last_chunk"))
 
 
+# mixture constants shared by the Spark query and its oracle builder:
+# rate math must be bit-identical, so both sides derive targets as
+# token_budget * w / wsum in this exact order
+_MIX_WEIGHTS = {"src0": 5.0, "src1": 2.0, "src2": 1.0}
+_MIX_BUDGET = 4000
+
+
+def _q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture build (GPT-3/Pile/LLaMA data mixing): rates
+    from actual per-source token totals vs target weights; upsampled
+    sources get epoch-labelled full copies + a hash-sampled fractional
+    epoch."""
+    from goskema_spark.ops.mix import build_mixture
+    from goskema_spark.ops.textops import token_count_ws
+
+    docs = _docs(spark, sf_dir).select(
+        "source", "doc_id",
+        F.coalesce(token_count_ws(F.col("text")), F.lit(0))
+        .cast("long").alias("n_tok"))
+    out, _rates = build_mixture(docs, _MIX_WEIGHTS, _MIX_BUDGET,
+                                upsample=True)
+    return out.select(
+        "source", F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        F.col("epoch").cast("bigint").alias("epoch"))
+
+
+def _mixture_sql() -> str:
+    """DuckDB twin of _q_mixture. Targets are inlined as repr() doubles
+    computed with the same expression order as ops/mix.mixture_rates, so
+    rate = target / total is the same IEEE double in both engines; the
+    fractional-epoch threshold reproduces sample._hex_threshold via
+    printf('%08x', floor(frac * 16^8))."""
+    wsum = float(sum(_MIX_WEIGHTS.values()))
+    vals = ", ".join(f"('{s}', {_MIX_BUDGET * w / wsum!r})"
+                     for s, w in sorted(_MIX_WEIGHTS.items()))
+    return f"""
+WITH t AS (SELECT source, doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+tot AS (SELECT source, SUM(n_tok) AS tot FROM t GROUP BY source),
+w(source, target) AS (VALUES {vals}),
+r AS (SELECT w.source, w.target / tot.tot AS rate
+      FROM w JOIN tot USING (source) WHERE tot.tot > 0),
+b AS (SELECT t.source, t.doc_id, t.n_tok,
+        CAST(FLOOR(r.rate) AS INT)
+          + CASE WHEN substr(md5('gsk|' || CAST(t.doc_id AS VARCHAR)), 1, 8)
+                      < CASE WHEN r.rate - FLOOR(r.rate) >= 1.0 THEN 'g'
+                             ELSE printf('%08x', CAST(FLOOR(
+                                 (r.rate - FLOOR(r.rate)) * 4294967296.0)
+                                 AS BIGINT)) END
+                 THEN 1 ELSE 0 END AS n
+      FROM t JOIN r USING (source))
+SELECT source, CAST(doc_id AS BIGINT) AS doc_id, n_tok,
+       CAST(u.epoch AS BIGINT) AS epoch
+FROM b, UNNEST(range(0, b.n)) AS u(epoch)"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rowpass_violations": _q_rowpass,
@@ -751,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_profile": _q_pii_profile,
         "dedup_groups": _q_dedup_groups,
         "chunk_assignments": _q_chunk_assignments,
+        "mixture_by_source": _q_mixture,
     }
 
 
@@ -1224,4 +1283,5 @@ SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
   CAST(FLOOR(off / 64.0) AS BIGINT) AS first_chunk,
   CAST(FLOOR((off + GREATEST(n_tok - 1, 0)) / 64.0) AS BIGINT) AS last_chunk
 FROM o""",
+        "mixture_by_source": _mixture_sql(),
     }

@@ -89,7 +89,13 @@ def main():
         "Fidelity note: each local[N] JVM pins `-XX:ParallelGCThreads=N` "
         "(bench.py get_spark) — without it the JVM garbage-collects with "
         "all 32 host cores, giving the small-N leg parallel help a real "
-        "N-core executor would not have.",
+        "N-core executor would not have. Each JVM also runs a fixed "
+        "pre-touched heap (`-Xms` = `-Xmx` + `-XX:+AlwaysPreTouch`): a "
+        "growable G1 heap returns pages between runs and the kernel/host "
+        "re-provisions them mid-measurement (minute-scale all-system-time "
+        "stalls), which destabilized the allocation-heavy "
+        "full_validation leg in earlier rounds; fixed-heap executors are "
+        "also production practice.",
         "",
         "## Per-rep raw timings (seconds) — the auditable evidence",
         "",
