@@ -711,6 +711,18 @@ def _q_chunk_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_chunk").cast("bigint").alias("last_chunk"))
 
 
+def _q_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PSI/KS drift (north rule's per-partition lineage form):
+    odd _ord rows vs even _ord rows of the same corpus, one (psi, ks)
+    row per source. NULL sources are excluded — a join key of NULL never
+    matches itself, so a NULL group would mis-pair the two sides."""
+    from goskema_spark.drift import psi_ks_by_group
+    corpus = _corpus(spark, sf_dir).filter(F.col("source").isNotNull())
+    cur = corpus.filter(F.col("_ord") % 2 == 1)
+    ref = corpus.filter(F.col("_ord") % 2 == 0)
+    return psi_ks_by_group(cur, ref, "n_tok", "source", 0, MAX_NTOK, 16)
+
+
 # mixture constants shared by the Spark query and its oracle builder:
 # rate math must be bit-identical, so both sides derive targets as
 # token_budget * w / wsum in this exact order
@@ -810,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": _q_dedup_groups,
         "chunk_assignments": _q_chunk_assignments,
         "mixture_by_source": _q_mixture,
+        "drift_by_source": _q_drift_by_source,
     }
 
 
@@ -950,8 +963,31 @@ s AS (SELECT (GREATEST(cnt_a / ta, 1e-6) - GREATEST(cnt_b / tb, 1e-6))
              - SUM(cnt_b) OVER (ORDER BY bucket) / tb AS cdf_diff
       FROM j, tot)
 SELECT ROUND(SUM(psi_term), 6) AS psi, ROUND(MAX(ABS(cdf_diff)), 6) AS ks FROM s""")
+    drift_by_source_sql = _with_corpus(f"""
+, ha AS (SELECT source AS g, {bucket_expr} AS bucket, COUNT(*) AS cnt_a
+         FROM corpus WHERE n_tok IS NOT NULL AND source IS NOT NULL
+           AND _ord % 2 = 1 GROUP BY 1, 2),
+hb AS (SELECT source AS g, {bucket_expr} AS bucket, COUNT(*) AS cnt_b
+       FROM corpus WHERE n_tok IS NOT NULL AND source IS NOT NULL
+         AND _ord % 2 = 0 GROUP BY 1, 2),
+j AS (SELECT COALESCE(ha.g, hb.g) AS g,
+             COALESCE(ha.bucket, hb.bucket) AS bucket,
+             COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+      FROM ha FULL JOIN hb ON ha.g = hb.g AND ha.bucket = hb.bucket),
+tot AS (SELECT g, SUM(cnt_a) AS ta, SUM(cnt_b) AS tb FROM j GROUP BY 1
+        HAVING SUM(cnt_a) > 0 AND SUM(cnt_b) > 0),
+s AS (SELECT j.g,
+        (GREATEST(cnt_a / ta, 1e-6) - GREATEST(cnt_b / tb, 1e-6))
+        * LN(GREATEST(cnt_a / ta, 1e-6) / GREATEST(cnt_b / tb, 1e-6)) AS psi_term,
+        SUM(cnt_a) OVER (PARTITION BY j.g ORDER BY bucket) / ta
+        - SUM(cnt_b) OVER (PARTITION BY j.g ORDER BY bucket) / tb AS cdf_diff
+      FROM j JOIN tot ON j.g = tot.g)
+SELECT g AS source, ROUND(SUM(psi_term), 6) AS psi,
+       ROUND(MAX(ABS(cdf_diff)), 6) AS ks
+FROM s GROUP BY 1""")
     return {
         "drift_psi_ks": drift_sql,
+        "drift_by_source": drift_by_source_sql,
         "text_profile": _TEXT_PROFILE_SQL,
         "contamination_hits": """
 WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),

@@ -42,7 +42,10 @@ def get_spark(cpus: int) -> SparkSession:
     # JVM startup moves all zeroing before the warm run (~5s one-time,
     # outside every timed window) and matches production executor
     # practice, where spark.executor.memory is a fixed heap.
-    mem = os.environ.get("GSK_DRIVER_MEM", "24g")
+    # default sized for the driver-bench corpus (1.28M rows): the fixed
+    # heap is pre-touched, and cold host page provisioning can run at
+    # ~15-20 MB/s — every unneeded GB is potential startup tax
+    mem = os.environ.get("GSK_DRIVER_MEM", "12g")
     gc_opts = (f"-XX:ParallelGCThreads={max(2, cpus)} "
                f"-XX:ConcGCThreads={max(1, cpus // 4)} "
                f"-Xms{mem} -XX:+AlwaysPreTouch "

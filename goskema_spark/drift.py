@@ -109,6 +109,57 @@ def psi_ks_between(df_a: DataFrame, df_b: DataFrame, column: str,
     )
 
 
+def psi_ks_by_group(df_a: DataFrame, df_b: DataFrame, column: str,
+                    group_col: str, lo: float, hi: float,
+                    buckets: int = DEFAULT_BUCKETS,
+                    eps: float = 1e-6) -> DataFrame:
+    """Per-group PSI + KS — the per-partition-lineage form of the drift
+    check (north rule: drift per source, not just globally). One row per
+    group present in BOTH sides; a group with no reference (or no
+    current) distribution has nothing to compare against and is omitted
+    rather than reported as a fake zero.
+
+    Scale story: two (group, bucket) hash aggregates (G x (buckets+2)
+    rows — tiny regardless of input size), a full-outer join per group
+    on the bucket axis, per-group totals joined back, and a window over
+    <= buckets+2 rows per group for the CDF. Nothing is collected.
+    """
+    def hist(df, name):
+        width_ok = df.filter(F.col(column).isNotNull()
+                             & ~F.isnan(F.col(column).cast("double")))
+        b = F.width_bucket(F.col(column).cast("double"),
+                           F.lit(float(lo)), F.lit(float(hi)),
+                           F.lit(buckets))
+        return (width_ok.groupBy(F.col(group_col).alias("g"),
+                                 b.alias("bucket"))
+                .agg(F.count(F.lit(1)).alias(name)))
+
+    ha = hist(df_a, "cnt_a")
+    hb = hist(df_b, "cnt_b")
+    joined = (ha.join(hb, ["g", "bucket"], "full")
+              .select("g", "bucket",
+                      F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+                      F.coalesce("cnt_b", F.lit(0)).alias("cnt_b")))
+    tot = (joined.groupBy("g")
+           .agg(F.sum("cnt_a").alias("ta"), F.sum("cnt_b").alias("tb"))
+           .filter((F.col("ta") > 0) & (F.col("tb") > 0)))
+    j = joined.join(tot, "g")
+    p = F.greatest(F.col("cnt_a") / F.col("ta"), F.lit(eps))
+    q = F.greatest(F.col("cnt_b") / F.col("tb"), F.lit(eps))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("g").orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    scored = j.select(
+        "g",
+        ((p - q) * F.log(p / q)).alias("psi_term"),
+        (F.sum(F.col("cnt_a")).over(w) / F.col("ta")
+         - F.sum(F.col("cnt_b")).over(w) / F.col("tb")).alias("cdf_diff"),
+    )
+    return (scored.groupBy(F.col("g").alias(group_col))
+            .agg(F.round(F.sum("psi_term"), 6).alias("psi"),
+                 F.round(F.max(F.abs(F.col("cdf_diff"))), 6).alias("ks")))
+
+
 def drift_check(df: DataFrame, column: str, ref: DataFrame, lo: float, hi: float,
                 buckets: int = DEFAULT_BUCKETS, psi_threshold: float = 0.25,
                 ks_threshold: float = 0.30) -> dict:
