@@ -723,6 +723,20 @@ def _q_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_ks_by_group(cur, ref, "n_tok", "source", 0, MAX_NTOK, 16)
 
 
+def _q_drift_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day PSI/KS of events.value against the full-table reference
+    snapshot — the batch twin of streaming.drift_stream (identical
+    grouped-histogram scoring). `value` is quantized to FLOOR(value)
+    BIGINT so the bucket arithmetic is exact integer math on both
+    engines (width 30 over [0, 480), under/overflow buckets 0/17)."""
+    from goskema_spark.drift import windowed_drift
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+          .withColumn("iv", F.floor("value")))
+    return windowed_drift(ev, "iv", ev, 0, 480, 16,
+                          ts_col="ts", window="1 day")
+
+
 # mixture constants shared by the Spark query and its oracle builder:
 # rate math must be bit-identical, so both sides derive targets as
 # token_budget * w / wsum in this exact order
@@ -823,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_assignments": _q_chunk_assignments,
         "mixture_by_source": _q_mixture,
         "drift_by_source": _q_drift_by_source,
+        "drift_events_daily": _q_drift_events_daily,
     }
 
 
@@ -985,9 +1000,36 @@ s AS (SELECT j.g,
 SELECT g AS source, ROUND(SUM(psi_term), 6) AS psi,
        ROUND(MAX(ABS(cdf_diff)), 6) AS ks
 FROM s GROUP BY 1""")
+    ev_bucket = ("CASE WHEN iv < 0 THEN 0 WHEN iv >= 480 THEN 17 "
+                 "ELSE CAST(FLOOR(iv / 30.0) AS BIGINT) + 1 END")
+    drift_events_daily_sql = f"""
+WITH e AS (SELECT time_bucket(INTERVAL '1 day', ts) AS g,
+                  CAST(FLOOR(value) AS BIGINT) AS iv
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+ha AS (SELECT g, {ev_bucket} AS bucket, COUNT(*) AS cnt_a
+       FROM e GROUP BY 1, 2),
+hb0 AS (SELECT {ev_bucket} AS bucket, COUNT(*) AS cnt_b FROM e GROUP BY 1),
+hb AS (SELECT w.g, hb0.bucket, hb0.cnt_b
+       FROM (SELECT DISTINCT g FROM ha) w CROSS JOIN hb0),
+j AS (SELECT COALESCE(ha.g, hb.g) AS g,
+             COALESCE(ha.bucket, hb.bucket) AS bucket,
+             COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+      FROM ha FULL JOIN hb ON ha.g = hb.g AND ha.bucket = hb.bucket),
+tot AS (SELECT g, SUM(cnt_a) AS ta, SUM(cnt_b) AS tb FROM j GROUP BY 1
+        HAVING SUM(cnt_a) > 0 AND SUM(cnt_b) > 0),
+s AS (SELECT j.g,
+        (GREATEST(cnt_a / ta, 1e-6) - GREATEST(cnt_b / tb, 1e-6))
+        * LN(GREATEST(cnt_a / ta, 1e-6) / GREATEST(cnt_b / tb, 1e-6)) AS psi_term,
+        SUM(cnt_a) OVER (PARTITION BY j.g ORDER BY bucket) / ta
+        - SUM(cnt_b) OVER (PARTITION BY j.g ORDER BY bucket) / tb AS cdf_diff
+      FROM j JOIN tot ON j.g = tot.g)
+SELECT g AS window_start, ROUND(SUM(psi_term), 6) AS psi,
+       ROUND(MAX(ABS(cdf_diff)), 6) AS ks
+FROM s GROUP BY 1"""
     return {
         "drift_psi_ks": drift_sql,
         "drift_by_source": drift_by_source_sql,
+        "drift_events_daily": drift_events_daily_sql,
         "text_profile": _TEXT_PROFILE_SQL,
         "contamination_hits": """
 WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),

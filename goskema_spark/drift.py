@@ -109,55 +109,102 @@ def psi_ks_between(df_a: DataFrame, df_b: DataFrame, column: str,
     )
 
 
+def score_grouped_histograms(ha: DataFrame, hb: DataFrame,
+                             group_col: str = "g",
+                             eps: float = 1e-6) -> DataFrame:
+    """PSI + KS per group from two PREBUILT histograms:
+    ha(group_col, bucket, cnt_a) vs hb(group_col, bucket, cnt_b) ->
+    (group_col, psi, ks). One row per group present with rows on BOTH
+    sides; a group with no reference (or no current) distribution has
+    nothing to compare against and is omitted rather than reported as a
+    fake zero. Shared scoring tail of psi_ks_by_group / windowed_drift /
+    the streaming drift operator — the math is oracle-proven once and
+    reused.
+
+    Scale story: inputs are G x (buckets+2) rows regardless of corpus
+    size; a full-outer join per group on the bucket axis, per-group
+    totals joined back, and a window over <= buckets+2 rows per group
+    for the CDF. Nothing is collected.
+    """
+    joined = (ha.join(hb, [group_col, "bucket"], "full")
+              .select(group_col, "bucket",
+                      F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+                      F.coalesce("cnt_b", F.lit(0)).alias("cnt_b")))
+    tot = (joined.groupBy(group_col)
+           .agg(F.sum("cnt_a").alias("ta"), F.sum("cnt_b").alias("tb"))
+           .filter((F.col("ta") > 0) & (F.col("tb") > 0)))
+    j = joined.join(tot, group_col)
+    p = F.greatest(F.col("cnt_a") / F.col("ta"), F.lit(eps))
+    q = F.greatest(F.col("cnt_b") / F.col("tb"), F.lit(eps))
+    from pyspark.sql import Window
+    w = (Window.partitionBy(group_col).orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    scored = j.select(
+        group_col,
+        ((p - q) * F.log(p / q)).alias("psi_term"),
+        (F.sum(F.col("cnt_a")).over(w) / F.col("ta")
+         - F.sum(F.col("cnt_b")).over(w) / F.col("tb")).alias("cdf_diff"),
+    )
+    return (scored.groupBy(group_col)
+            .agg(F.round(F.sum("psi_term"), 6).alias("psi"),
+                 F.round(F.max(F.abs(F.col("cdf_diff"))), 6).alias("ks")))
+
+
+def grouped_histogram(df: DataFrame, column: str, group_expr,
+                      lo: float, hi: float,
+                      buckets: int = DEFAULT_BUCKETS,
+                      cnt_name: str = "cnt_a",
+                      group_name: str = "g") -> DataFrame:
+    """(group, bucket, cnt) histogram — the per-group analog of
+    histogram(). `group_expr` may be a column name or a Column (e.g. a
+    window start). Null/NaN values dropped as in histogram()."""
+    ge = F.col(group_expr) if isinstance(group_expr, str) else group_expr
+    cd = F.col(column).cast("double")
+    b = F.width_bucket(cd, F.lit(float(lo)), F.lit(float(hi)),
+                       F.lit(buckets))
+    return (df.filter(F.col(column).isNotNull() & ~F.isnan(cd))
+            .groupBy(ge.alias(group_name), b.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias(cnt_name)))
+
+
 def psi_ks_by_group(df_a: DataFrame, df_b: DataFrame, column: str,
                     group_col: str, lo: float, hi: float,
                     buckets: int = DEFAULT_BUCKETS,
                     eps: float = 1e-6) -> DataFrame:
     """Per-group PSI + KS — the per-partition-lineage form of the drift
     check (north rule: drift per source, not just globally). One row per
-    group present in BOTH sides; a group with no reference (or no
-    current) distribution has nothing to compare against and is omitted
-    rather than reported as a fake zero.
+    group present in BOTH sides. Two (group, bucket) hash aggregates
+    feeding score_grouped_histograms (see there for the scale story)."""
+    ha = grouped_histogram(df_a, column, group_col, lo, hi, buckets,
+                           "cnt_a", group_col)
+    hb = grouped_histogram(df_b, column, group_col, lo, hi, buckets,
+                           "cnt_b", group_col)
+    return score_grouped_histograms(ha, hb, group_col, eps)
 
-    Scale story: two (group, bucket) hash aggregates (G x (buckets+2)
-    rows — tiny regardless of input size), a full-outer join per group
-    on the bucket axis, per-group totals joined back, and a window over
-    <= buckets+2 rows per group for the CDF. Nothing is collected.
+
+def windowed_drift(df: DataFrame, column: str, ref: DataFrame,
+                   lo: float, hi: float, buckets: int = DEFAULT_BUCKETS,
+                   ts_col: str = "ts", window: str = "1 hour",
+                   eps: float = 1e-6) -> DataFrame:
+    """Per-time-window PSI + KS of `column` against a FIXED reference
+    snapshot: (window_start, psi, ks), one row per tumbling window that
+    has any in-range rows. The batch twin of the streaming drift
+    operator (streaming.drift_stream) — both score the same grouped
+    histograms, so the stream can be cross-validated against this.
+
+    Scale story: one (window, bucket) hash aggregate over the corpus
+    (W x (buckets+2) rows out), one bucket aggregate over the reference,
+    reference histogram broadcast-crossed to the observed windows (tiny
+    x tiny), then score_grouped_histograms. Nothing is collected.
     """
-    def hist(df, name):
-        width_ok = df.filter(F.col(column).isNotNull()
-                             & ~F.isnan(F.col(column).cast("double")))
-        b = F.width_bucket(F.col(column).cast("double"),
-                           F.lit(float(lo)), F.lit(float(hi)),
-                           F.lit(buckets))
-        return (width_ok.groupBy(F.col(group_col).alias("g"),
-                                 b.alias("bucket"))
-                .agg(F.count(F.lit(1)).alias(name)))
-
-    ha = hist(df_a, "cnt_a")
-    hb = hist(df_b, "cnt_b")
-    joined = (ha.join(hb, ["g", "bucket"], "full")
-              .select("g", "bucket",
-                      F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
-                      F.coalesce("cnt_b", F.lit(0)).alias("cnt_b")))
-    tot = (joined.groupBy("g")
-           .agg(F.sum("cnt_a").alias("ta"), F.sum("cnt_b").alias("tb"))
-           .filter((F.col("ta") > 0) & (F.col("tb") > 0)))
-    j = joined.join(tot, "g")
-    p = F.greatest(F.col("cnt_a") / F.col("ta"), F.lit(eps))
-    q = F.greatest(F.col("cnt_b") / F.col("tb"), F.lit(eps))
-    from pyspark.sql import Window
-    w = (Window.partitionBy("g").orderBy("bucket")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    scored = j.select(
-        "g",
-        ((p - q) * F.log(p / q)).alias("psi_term"),
-        (F.sum(F.col("cnt_a")).over(w) / F.col("ta")
-         - F.sum(F.col("cnt_b")).over(w) / F.col("tb")).alias("cdf_diff"),
-    )
-    return (scored.groupBy(F.col("g").alias(group_col))
-            .agg(F.round(F.sum("psi_term"), 6).alias("psi"),
-                 F.round(F.max(F.abs(F.col("cdf_diff"))), 6).alias("ks")))
+    ws = F.window(F.col(ts_col).cast("timestamp"), window)["start"]
+    ha = grouped_histogram(df, column, ws, lo, hi, buckets,
+                           "cnt_a", "window_start")
+    ref_hist = (histogram(ref, column, lo, hi, buckets)
+                .select("bucket", F.col("cnt").alias("cnt_b")))
+    wins = ha.select("window_start").distinct()
+    hb = wins.crossJoin(F.broadcast(ref_hist))
+    return score_grouped_histograms(ha, hb, "window_start", eps)
 
 
 def drift_check(df: DataFrame, column: str, ref: DataFrame, lo: float, hi: float,

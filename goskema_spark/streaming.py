@@ -226,6 +226,90 @@ def streaming_unique_violations(stream_df: DataFrame, key_col: str = "doc_id",
             .applyInPandasWithState(track, out_t, state_t, "update", timeout))
 
 
+def drift_stream(stream_df: DataFrame, column: str, ref: DataFrame,
+                 lo: float, hi: float, buckets: int = 16,
+                 ts_col: str = "ts", window: str = "1 hour",
+                 watermark: str = "2 hours",
+                 psi_threshold: float = 0.25, ks_threshold: float = 0.30,
+                 sink: Optional[str] = None,
+                 on_batch: Optional[Callable] = None,
+                 checkpoint: Optional[str] = None):
+    """STREAMING distribution-drift detection: per closed event-time
+    window, PSI + KS of `column` against a fixed reference snapshot —
+    the streaming analog of the north rule's drift check (and of
+    drift.windowed_drift, its batch twin scoring identical grouped
+    histograms via drift.score_grouped_histograms).
+
+    Plan: a watermarked tumbling-window (window, bucket) count aggregate
+    runs in APPEND mode, so a window's finalized histogram is emitted
+    exactly once — in the trigger where the watermark passes its end
+    (late rows beyond the watermark are dropped by state eviction, and
+    windows still open when a bounded stream ends never emit). Each
+    emitted histogram batch is scored in foreachBatch against the
+    reference histogram, which is finalized ONCE at writer construction
+    (<= buckets+2 rows, rebuilt per batch as a broadcast literal — no
+    repeated scans of `ref`).
+
+    State: (#open windows x (buckets+2)) count rows — bounded by the
+    watermark regardless of stream length. Scoring per trigger touches
+    only the just-closed windows' histograms.
+
+    Output rows: (window_start, psi, ks, drifted, batch_id), appended to
+    `sink` (parquet, partitioned by batch_id with dynamic overwrite —
+    idempotent under micro-batch replay) and/or passed to
+    `on_batch(scored_df, batch_id)`. Returns the DataStreamWriter."""
+    from goskema_spark.drift import histogram, score_grouped_histograms
+
+    ref_rows = [(int(r["bucket"]), int(r["cnt"]))
+                for r in histogram(ref, column, lo, hi, buckets)
+                .select("bucket", "cnt").collect()]
+
+    src = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    cd = F.col(column).cast("double")
+    hist_stream = (
+        src.filter(F.col(column).isNotNull() & ~F.isnan(cd))
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"),
+                 F.width_bucket(cd, F.lit(float(lo)), F.lit(float(hi)),
+                                F.lit(buckets)).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt_a"))
+        .select(F.col("w.start").alias("window_start"), "bucket", "cnt_a")
+    )
+
+    def process(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        ref_df = spark.createDataFrame(
+            ref_rows, "bucket bigint, cnt_b bigint")
+        wins = batch_df.select("window_start").distinct()
+        hb = wins.crossJoin(F.broadcast(ref_df))
+        scored = (
+            score_grouped_histograms(
+                batch_df.select("window_start",
+                                F.col("bucket").cast("bigint").alias("bucket"),
+                                "cnt_a"),
+                hb, "window_start")
+            .select("window_start", "psi", "ks",
+                    ((F.col("psi") > psi_threshold)
+                     | (F.col("ks") > ks_threshold)).alias("drifted"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        if sink:
+            (scored.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id")
+             .parquet(sink))
+        if on_batch is not None:
+            on_batch(scored, batch_id)
+
+    writer = (hist_stream.writeStream.outputMode("append")
+              .foreachBatch(process))
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
 def dedup_stream(stream_df: DataFrame, key: str = "doc_id",
                  ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
     """Streaming uniqueness: exactly-once KEYS within the watermark

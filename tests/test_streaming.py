@@ -304,3 +304,39 @@ def test_streaming_unique_ttl_late_batch_keeps_deadline(spark):
         assert ("K", 2, 0) in got
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_drift_stream_matches_batch_twin(spark):
+    """Every window the stream scores must equal drift.windowed_drift on
+    the same data — identical grouped-histogram scoring on both paths."""
+    from goskema_spark.drift import windowed_drift
+    from goskema_spark.streaming import drift_stream
+
+    tmp = tempfile.mkdtemp()
+    try:
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        ev.coalesce(2).write.mode("overwrite").parquet(f"{tmp}/in")
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(f"{tmp}/in"))
+        writer = drift_stream(
+            stream, "value", ev, 0, 480, buckets=8,
+            ts_col="ts", window="1 day", watermark="1 hour",
+            sink=f"{tmp}/out", checkpoint=f"{tmp}/ckpt")
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(300)
+
+        got = spark.read.parquet(f"{tmp}/out").collect()
+        assert got  # closed windows were emitted and scored
+        batch = windowed_drift(ev, "value", ev, 0, 480, 8,
+                               ts_col="ts", window="1 day")
+        expected = {r["window_start"]: (r["psi"], r["ks"])
+                    for r in batch.collect()}
+        for r in got:
+            assert expected[r["window_start"]] == (r["psi"], r["ks"])
+            assert r["drifted"] == (r["psi"] > 0.25 or r["ks"] > 0.30)
+        # append mode: each closed window scored exactly once
+        ws = [r["window_start"] for r in got]
+        assert len(ws) == len(set(ws))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
