@@ -764,6 +764,71 @@ def _q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("epoch").cast("bigint").alias("epoch"))
 
 
+def _q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join: each click event gets the latest
+    purchase of the same user at-or-before its timestamp — the
+    feature-lookup / training-label join Spark has no native operator
+    for. One sort-shuffle union + running struct-max (ops/asof.py);
+    oracle = DuckDB's native ASOF LEFT JOIN."""
+    from goskema_spark.ops.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", F.col("value").alias("ref_value")))
+    out = asof_join(clicks, purchases, on=["user_id"],
+                    payload=["ref_value"], right_ts_out="purchase_ts")
+    return out.select(F.col("event_id").cast("bigint").alias("event_id"),
+                      F.col("user_id").cast("bigint").alias("user_id"),
+                      "ts", "purchase_ts",
+                      F.round("ref_value", 6).alias("ref_value"))
+
+
+def _q_range_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events of the same user within 30 minutes AFTER each
+    error event (incident blast-radius counting). Bucketed equi-join,
+    never an inequality/cartesian plan (ops/asof.range_join_count)."""
+    from goskema_spark.ops.asof import range_join_count
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select("event_id", "user_id", "ts"))
+    out = range_join_count(errors, ev.select("user_id", "ts"),
+                           on=["user_id"], lo_us=0,
+                           hi_us=30 * 60 * 1_000_000,
+                           count_col="n_next_30m")
+    return out.select(F.col("event_id").cast("bigint").alias("event_id"),
+                      F.col("user_id").cast("bigint").alias("user_id"),
+                      "ts", F.col("n_next_30m").cast("bigint")
+                      .alias("n_next_30m"))
+
+
+def _q_tpch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-sets aggregate over lineitem: per (returnflag,
+    linestatus), per returnflag subtotal, and grand total in ONE pass —
+    Spark expands grouping sets inside a single hash-aggregate stage
+    (no per-level rescan). gid = grouping_id() disambiguates levels."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.grouping_id().cast("int").alias("gid")))
+
+
+def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts spread across the five event types
+    as columns. The explicit value list keeps it a single aggregate
+    (no distinct-values pre-scan) — the 100 TB form of pivot."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (ev.groupBy("user_id").pivot("event_type", types).count())
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+          for t in types])
+
+
 def _mixture_sql() -> str:
     """DuckDB twin of _q_mixture. Targets are inlined as repr() doubles
     computed with the same expression order as ops/mix.mixture_rates, so
@@ -838,6 +903,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_by_source": _q_mixture,
         "drift_by_source": _q_drift_by_source,
         "drift_events_daily": _q_drift_events_daily,
+        "asof_click_purchase": _q_asof_click_purchase,
+        "range_error_context": _q_range_error_context,
+        "tpch_rollup_qty": _q_tpch_rollup,
+        "events_pivot_by_type": _q_events_pivot,
     }
 
 
@@ -1030,6 +1099,41 @@ FROM s GROUP BY 1"""
         "drift_psi_ks": drift_sql,
         "drift_by_source": drift_by_source_sql,
         "drift_events_daily": drift_events_daily_sql,
+        "asof_click_purchase": """
+SELECT CAST(l.event_id AS BIGINT) AS event_id,
+       CAST(l.user_id AS BIGINT) AS user_id,
+       l.ts AS ts, r.ts AS purchase_ts,
+       ROUND(r.value, 6) AS ref_value
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "range_error_context": """
+SELECT CAST(l.event_id AS BIGINT) AS event_id,
+       CAST(l.user_id AS BIGINT) AS user_id, l.ts AS ts,
+       CAST(COUNT(r.ts) AS BIGINT) AS n_next_30m
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'error') l
+LEFT JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+GROUP BY l.event_id, l.user_id, l.ts""",
+        "tpch_rollup_qty": """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+        "events_pivot_by_type": """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY user_id""",
         "text_profile": _TEXT_PROFILE_SQL,
         "contamination_hits": """
 WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
