@@ -804,6 +804,37 @@ def _q_range_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("n_next_30m"))
 
 
+def _q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-proportional (PPS) systematic sample: keep documents whose
+    interval in the corpus-wide token stream covers a multiple of 997.
+    Deterministic, RNG-free, integer-exact; offsets via the distributed
+    prefix sum (ops/pack), oracle via a window sum."""
+    from goskema_spark.ops.sample import pps_systematic
+
+    docs = _docs(spark, sf_dir)
+    out = pps_systematic(docs, 997)
+    return out.select("source", F.col("doc_id").cast("bigint").alias("doc_id"),
+                      F.col("n_tok").cast("bigint").alias("n_tok"),
+                      F.col("tok_offset").cast("bigint").alias("tok_offset"))
+
+
+def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram document-frequency statistics: top-20 word
+    trigrams by #docs containing them (boilerplate discovery / corpus
+    fingerprinting). distinct-per-doc shingles -> hash-agg count ->
+    TakeOrdered(20) — the orderBy+limit plans as a per-partition top-k
+    + single 20-row merge, never a global sort. Total tie-break
+    (df DESC, gram ASC) makes the cut deterministic."""
+    from goskema_spark.ops.dedup import shingles
+
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(F.explode(shingles(F.col("text"), 3)).alias("gram"))
+    return (grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+            .orderBy(F.col("df").desc(), F.col("gram").asc())
+            .limit(20))
+
+
 def _q_tpch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping-sets aggregate over lineitem: per (returnflag,
     linestatus), per returnflag subtotal, and grand total in ONE pass —
@@ -905,6 +936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_events_daily": _q_drift_events_daily,
         "asof_click_purchase": _q_asof_click_purchase,
         "range_error_context": _q_range_error_context,
+        "corpus_top_ngrams": _q_top_ngrams,
+        "pps_token_sample": _q_pps_sample,
         "tpch_rollup_qty": _q_tpch_rollup,
         "events_pivot_by_type": _q_events_pivot,
     }
@@ -1119,6 +1152,25 @@ LEFT JOIN events r
   ON l.user_id = r.user_id
  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
 GROUP BY l.event_id, l.user_id, l.ts""",
+        "pps_token_sample": """
+WITH t AS (SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+o AS (SELECT source, doc_id, n_tok,
+        COALESCE(SUM(n_tok) OVER (ORDER BY source, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM t)
+SELECT source, CAST(doc_id AS BIGINT) AS doc_id, n_tok,
+       CAST(off AS BIGINT) AS tok_offset
+FROM o
+WHERE n_tok > 0
+  AND (off % 997 = 0 OR (off % 997) + n_tok - 1 >= 997)""",
+        "corpus_top_ngrams": f"""
+WITH {_SHINGLES_CTE}
+SELECT s AS gram, CAST(COUNT(*) AS BIGINT) AS df
+FROM sh GROUP BY s
+ORDER BY df DESC, gram ASC
+LIMIT 20""",
         "tpch_rollup_qty": """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 4) AS sum_qty,

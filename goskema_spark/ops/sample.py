@@ -112,3 +112,37 @@ def top_k_per_group(df: DataFrame, group_col: str, order_col: str, k: int,
     w = Window.partitionBy(group_col).orderBy(*order)
     return (df.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k))
+
+
+def pps_systematic(df: DataFrame, step_tokens: int,
+                   order_cols: tuple[str, ...] = ("source", "doc_id"),
+                   text_col: str = "text",
+                   num_parts: int | None = None) -> DataFrame:
+    """Probability-proportional-to-size systematic sampling: lay the
+    corpus out as one virtual token stream (ordered by order_cols) and
+    keep every document whose token interval covers a multiple of
+    `step_tokens`. A document with n tokens is selected with probability
+    ~ n / step (exactly its share of the token stream) — the classic
+    PPS/systematic design for drawing an eval slice whose TOKEN mass is
+    unbiased, where uniform doc sampling would over-represent short
+    documents. Expected sample size = total_tokens / step.
+
+    Deterministic (no RNG: the grid is fixed by the total order) and
+    integer-exact: selection is pure modulo arithmetic on the offsets,
+    so the DuckDB oracle (window-sum offsets) reproduces it bit-for-bit.
+
+    Scale: offsets come from pack.chunk_assignments' two-phase
+    distributed prefix sum (range partition + P-row base offsets +
+    Arrow cumsum) — no single-task global window."""
+    from .pack import chunk_assignments
+
+    if step_tokens <= 0:
+        raise ValueError("step_tokens must be positive")
+    offs = chunk_assignments(df, step_tokens, order_cols=order_cols,
+                             text_col=text_col, num_parts=num_parts)
+    # a grid point k*step lies in [off, off+n-1] iff off%step == 0 or
+    # (off%step) + n - 1 >= step        (n > 0 rows only)
+    r = F.col("tok_offset") % step_tokens
+    sel = (F.col("n_tok") > 0) & (
+        (r == 0) | (r + F.col("n_tok") - 1 >= step_tokens))
+    return offs.filter(sel).select(*order_cols, "n_tok", "tok_offset")

@@ -140,3 +140,35 @@ def test_sessionize_matches_native_session_window(spark):
                r["n_events"], r["sum_value"])
               for r in session_window_counts(ev, gap="30 minutes").collect()}
     assert ours == native
+
+
+def test_pps_systematic_exact_and_proportional(spark):
+    from goskema_spark.ops.sample import pps_systematic
+    rows = [(f"s{i % 3}", i, ("w " * (i % 40)).strip() or None)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    step = 37
+
+    # token_count_ws = size(split(text, ' ')): single-space split, NULL -> 0
+    def ntok(t):
+        return 0 if t is None else len(t.split(" "))
+
+    got = {(r["source"], r["doc_id"]) for r in
+           pps_systematic(df, step, num_parts=5).collect()}
+    # brute force on the same total order
+    ordered = sorted(rows, key=lambda r: (r[0], r[1]))
+    off, want = 0, set()
+    for s, d, t in ordered:
+        n = ntok(t)
+        r = off % step
+        if n > 0 and (r == 0 or r + n - 1 >= step):
+            want.add((s, d))
+        off += n
+    assert got == want
+    # expected size = total_tokens / step (within rounding slack)
+    total = sum(ntok(t) for _, _, t in rows)
+    assert abs(len(got) - total / step) <= len(got) * 0.1 + 2
+    # null-text (zero-token) docs are never selected
+    z = spark.createDataFrame([("a", 1, None), ("a", 2, None)],
+                              "source string, doc_id long, text string")
+    assert pps_systematic(z, 5).count() == 0
