@@ -775,8 +775,12 @@ def _q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     clicks = (ev.filter(F.col("event_type") == "click")
               .select("event_id", "user_id", "ts"))
+    # pre-dedup the right side to one row per (user, ts): DuckDB's ASOF
+    # leaves the pick among equal-ts rows unspecified, ours is the
+    # struct-max — collapsing ties makes both engines unambiguous
     purchases = (ev.filter(F.col("event_type") == "purchase")
-                 .select("user_id", "ts", F.col("value").alias("ref_value")))
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("ref_value")))
     out = asof_join(clicks, purchases, on=["user_id"],
                     payload=["ref_value"], right_ts_out="purchase_ts")
     return out.select(F.col("event_id").cast("bigint").alias("event_id"),
@@ -802,6 +806,34 @@ def _q_range_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("user_id").cast("bigint").alias("user_id"),
                       "ts", F.col("n_next_30m").cast("bigint")
                       .alias("n_next_30m"))
+
+
+def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel as ONE lazy plan: quality gate
+    (codegen'd heuristic >= 0.5) EXCEPT near-duplicate drop-list (LSH
+    candidates -> connected components, keep=false) EXCEPT benchmark-
+    contaminated ids (8-gram overlap with the doc_id%25 bench slice),
+    joined back for (doc_id, source). Set ops are EXCEPT DISTINCT
+    (DataFrame.subtract); the three branch subplans are independent, so
+    Catalyst fuses the quality filter into its scan and the scheduler
+    runs the branches concurrently — the composed pipeline costs what
+    its stages cost, with no materialization between them."""
+    from goskema_spark.ops.cluster import dedup_groups
+    from goskema_spark.ops.decontam import contamination_hits
+    from goskema_spark.ops.dedup import minhash_candidate_pairs
+    from goskema_spark.ops.textops import quality_score
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("bigint").alias("doc_id")
+    quality_ids = (docs.filter(quality_score(F.col("text")) >= 0.5)
+                   .select(did))
+    drop_dups = (dedup_groups(minhash_candidate_pairs(docs))
+                 .filter(~F.col("keep")).select(did))
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    contam_ids = contamination_hits(docs, bench, n=8).select(did)
+    kept = quality_ids.subtract(drop_dups).subtract(contam_ids)
+    return (kept.join(docs.select(did, "source"), "doc_id")
+            .select("doc_id", "source"))
 
 
 def _q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -938,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_error_context": _q_range_error_context,
         "corpus_top_ngrams": _q_top_ngrams,
         "pps_token_sample": _q_pps_sample,
+        "curation_funnel": _q_curation_funnel,
         "tpch_rollup_qty": _q_tpch_rollup,
         "events_pivot_by_type": _q_events_pivot,
     }
@@ -1139,8 +1172,8 @@ SELECT CAST(l.event_id AS BIGINT) AS event_id,
        ROUND(r.value, 6) AS ref_value
 FROM (SELECT event_id, user_id, ts FROM events
       WHERE event_type = 'click') l
-ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
-                WHERE event_type = 'purchase') r
+ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS value FROM events
+                WHERE event_type = 'purchase' GROUP BY user_id, ts) r
   ON l.user_id = r.user_id AND l.ts >= r.ts""",
         "range_error_context": """
 SELECT CAST(l.event_id AS BIGINT) AS event_id,
@@ -1152,6 +1185,43 @@ LEFT JOIN events r
   ON l.user_id = r.user_id
  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
 GROUP BY l.event_id, l.user_id, l.ts""",
+        "curation_funnel": f"""
+WITH RECURSIVE {_minhash_ctes()},
+cand AS ({_MINHASH_PAIRS}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+          UNION SELECT id_b, id_a FROM cand),
+reach AS (
+  SELECT src AS node, dst AS r FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+),
+drop_dups AS (SELECT node AS doc_id FROM reach GROUP BY node
+              HAVING node <> LEAST(node, MIN(r))),
+w8 AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+          FROM w8, UNNEST(range(1, len(w) - 6)) AS t(i)),
+contam AS (SELECT DISTINCT grams.doc_id FROM grams
+           JOIN (SELECT DISTINCT g FROM grams WHERE doc_id % 25 = 0) b
+             USING (g)),
+tq AS (SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> lower(x) IN {_STOP_IN}))
+           / greatest(len(string_split(text, ' ')), 1) AS swr,
+         length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+           / greatest(length(text), 1) AS pr,
+         len(string_split(text, ' ')) AS ntok
+       FROM documents),
+q AS (SELECT doc_id FROM tq
+      WHERE ROUND((least(CAST(ntok AS DOUBLE) / 100.0, 1.0)
+             + least(swr * 5.0, 1.0)
+             + (1.0 - least(pr * 10.0, 1.0))) / 3.0, 6) >= 0.5),
+kept AS (
+  -- EXCEPT spelled as NOT IN: DuckDB rejects set ops inside a WITH
+  -- RECURSIVE block; ids are unique + non-null so they are equivalent
+  SELECT q.doc_id FROM q
+  WHERE q.doc_id NOT IN (SELECT doc_id FROM drop_dups)
+    AND q.doc_id NOT IN (SELECT doc_id FROM contam))
+SELECT CAST(k.doc_id AS BIGINT) AS doc_id, d.source
+FROM kept k JOIN documents d ON k.doc_id = d.doc_id""",
         "pps_token_sample": """
 WITH t AS (SELECT source, doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

@@ -50,6 +50,19 @@ from pyspark.sql import DataFrame, Window, functions as F
 _MATCH = "_gsk_asof"
 
 
+def _check_args(left: DataFrame, payload, direction: str, how: str,
+                right_ts_out: str) -> None:
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be left|inner, got {how!r}")
+    clash = ({right_ts_out} | set(payload)) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"output columns {sorted(clash)} collide with left columns; "
+            "rename via payload aliases or right_ts_out")
+
+
 def _prep(left: DataFrame, right: DataFrame, on: Sequence[str],
           left_ts: str, right_ts: str, payload: Sequence[str],
           direction: str):
@@ -119,6 +132,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     right_ts = right_ts or left_ts
     if payload is None:
         payload = [c for c in right.columns if c not in on and c != right_ts]
+    _check_args(left, payload, direction, how, right_ts_out)
     u = _prep(left, right, list(on), left_ts, right_ts, list(payload),
               direction)
     # rows ordered by (axis, side): at equal timestamps the right row
@@ -149,6 +163,7 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, on: Sequence[str],
     right_ts = right_ts or left_ts
     if payload is None:
         payload = [c for c in right.columns if c not in on and c != right_ts]
+    _check_args(left, payload, direction, how, right_ts_out)
     on = list(on)
     u = _prep(left, right, on, left_ts, right_ts, list(payload), direction)
     u = u.withColumn("_b", F.floor(F.col("_t") / F.lit(int(bucket_us))))
@@ -183,7 +198,11 @@ def range_join_count(left: DataFrame, right: DataFrame, on: Sequence[str],
                      count_col: str = "n_in_range") -> DataFrame:
     """Count right rows with right_ts in [left_ts+lo_us, left_ts+hi_us]
     per key, attached to every left row. Bucketed equi-join: bucket
-    width = span, each left interval overlaps <= 2 buckets."""
+    width = span, each left interval overlaps <= 2 buckets.
+
+    Left rows must be DISTINCT as full tuples: the bucket fan-out is
+    collapsed by grouping on every left column, so two identical left
+    rows would merge into one output row with a doubled count."""
     right_ts = right_ts or left_ts
     on = list(on)
     if hi_us <= lo_us:

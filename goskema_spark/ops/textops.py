@@ -125,3 +125,57 @@ def repetition_score(text: Column, n: int = 3) -> Column:
         F.size(g) > 0,
         F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / F.size(g),
     ).otherwise(F.lit(0.0))
+
+
+def frequent_ngrams_sketch(df: DataFrame, n: int = 3, k: int = 20,
+                           capacity: int = 4096,
+                           text_col: str = "text") -> DataFrame:
+    """Heavy-hitter n-grams via per-partition Misra-Gries + exact
+    re-count — the bounded-shuffle alternative to the full n-gram
+    aggregate when the gram universe is too large to hash-shuffle.
+
+    Phase 1 (mapInPandas): each partition keeps a Misra-Gries summary of
+    `capacity` counters over its exploded grams. Guarantee: any gram
+    with global instance count > N/(capacity+1) survives in at least
+    one partition summary (pigeonhole over partial counts), so the
+    candidate union is a superset of every such heavy hitter.
+    Phase 2: exact counts for candidates only — the gram stream probes
+    the broadcast candidate set map-side, then one hash aggregate over
+    |candidates| <= capacity x #partitions keys (vs the full universe).
+    Top-k of the exact candidate counts is therefore EXACTLY the true
+    top-k whenever the true k-th count clears the phase-1 threshold.
+
+    Returns (gram, cnt) — instance counts (not document frequency),
+    ordered by (cnt DESC, gram ASC), k rows."""
+    from pyspark.sql import functions as _F  # local alias for clarity
+
+    grams_col = ngram_array(F.col(text_col), n)
+    grams = df.select(F.explode(grams_col).alias("g"))
+
+    def mg(batches):
+        import pandas as _pd
+        # mergeable-summary form (Agarwal et al.): fold each Arrow
+        # batch's exact value_counts into the summary, then trim to
+        # `capacity` by subtracting the (capacity+1)-th largest count —
+        # every unit subtracted from a survivor is subtracted from
+        # >= capacity+1 counters total, which is exactly the MG
+        # invariant the superset guarantee needs
+        counters: dict = {}
+        for pdf in batches:
+            for g, c in pdf["g"].value_counts().items():
+                counters[g] = counters.get(g, 0) + int(c)
+            if len(counters) > capacity:
+                vals = sorted(counters.values(), reverse=True)
+                m = vals[capacity]
+                counters = {key: v - m for key, v in counters.items()
+                            if v > m}
+        yield _pd.DataFrame({"g": list(counters.keys())})
+
+    candidates = [r["g"] for r in
+                  grams.mapInPandas(mg, "g string").distinct().collect()]
+    cand_df = df.sparkSession.createDataFrame(
+        [(c,) for c in candidates], "g string")
+    exact = (grams.join(_F.broadcast(cand_df), "g")
+             .groupBy("g").agg(_F.count(_F.lit(1)).cast("bigint").alias("cnt")))
+    return (exact.orderBy(_F.col("cnt").desc(), _F.col("g").asc())
+            .limit(k).select(_F.col("g").alias("gram"), "cnt"))

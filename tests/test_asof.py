@@ -159,3 +159,16 @@ def test_range_join_negative_lo(spark, sides):
         n = sum(1 for (_, rk, rts, _) in rrows
                 if rk == k and abs((rts - lts).total_seconds()) <= 600)
         assert got[lid] == n, (lid, got[lid], n)
+
+
+def test_arg_guards(spark, sides):
+    left, right = sides
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on=["k"], direction="nearest")
+    with pytest.raises(ValueError, match="how"):
+        asof_join(left, right, on=["k"], how="outer")
+    with pytest.raises(ValueError, match="collide"):
+        # right payload column 'lid' collides with a left column
+        asof_join(left, right.withColumnRenamed("val", "lid"), on=["k"])
+    with pytest.raises(ValueError, match="hi_us > lo_us"):
+        range_join_count(left, right, on=["k"], lo_us=10, hi_us=10)

@@ -303,3 +303,40 @@ def test_contamination_hits(spark):
     plan = contamination_hits(docs, bench, n=8)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_frequent_ngrams_sketch_exact_when_heavy(spark):
+    """MG candidates + exact re-count equals the exact top-k whenever the
+    k-th count clears N/(capacity+1) — here capacity is far above the
+    gram universe, so the guarantee holds trivially and the sketch path
+    must be EXACTLY the brute-force answer."""
+    from goskema_spark.ops.textops import frequent_ngrams_sketch
+    import random
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [(" ".join(rng.choices(vocab, k=30)),) for _ in range(400)]
+    df = spark.createDataFrame(rows, "text string").repartition(6)
+    got = [(r["gram"], r["cnt"]) for r in
+           frequent_ngrams_sketch(df, n=2, k=15, capacity=4096).collect()]
+
+    # brute force INSTANCE counts (ngram_array keeps within-doc repeats)
+    from collections import Counter
+    cnt = Counter()
+    for (t,) in rows:
+        ws = t.lower().split(" ")
+        cnt.update(" ".join(ws[i:i + 2]) for i in range(len(ws) - 1))
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert got == [(g, c) for g, c in want]
+
+
+def test_frequent_ngrams_sketch_candidates_bounded(spark):
+    """Tiny capacity: output is still the top-k of SOME candidate subset
+    (sanity: no crash, k rows max, counts are exact for returned grams)."""
+    from goskema_spark.ops.textops import frequent_ngrams_sketch
+    rows = [("a b a b a b",), ("c d c d",), ("a b x y",)] * 20
+    df = spark.createDataFrame(rows, "text string").repartition(3)
+    out = frequent_ngrams_sketch(df, n=2, k=3, capacity=2)
+    rows_out = out.collect()
+    assert 0 < len(rows_out) <= 3
+    # 'a b' is the overwhelming heavy hitter -> must be caught
+    assert rows_out[0]["gram"] == "a b"

@@ -74,13 +74,19 @@ def main():
             "t_4n": [r["queries"][q] for r in big_runs]}
         for q in queries
     }
+    write_report(small_runs[0]["sf"], rows, n, n4, reps, replicate, per_rep)
 
-    report = {"sf": small_runs[0]["sf"], "rows": rows, "n": n, "n4": n4,
+
+def write_report(sf, rows, n, n4, reps, replicate, per_rep):
+    """Render BENCH/BASELINE.md from per-rep raw timings. Split out so a
+    report can be re-rendered from captured raws without re-running."""
+    queries = list(per_rep)
+    report = {"sf": sf, "rows": rows, "n": n, "n4": n4,
               "reps": reps, "per_rep": per_rep}
     lines = [
         "# BENCH — measured baseline + scaling efficiency",
         "",
-        f"Input: canonical corpus derived from `{small_runs[0]['sf']}/documents.parquet`, "
+        f"Input: canonical corpus derived from `{sf}/documents.parquet`, "
         f"replicated ×{replicate} → **{rows:,} sequences** (parquet, snappy).",
         f"Host: {os.cpu_count()} cores (Firecracker VM; bursty CPU steal — "
         f"configs interleaved A/B across {reps} reps; each rep is min-of-2 "
@@ -114,28 +120,38 @@ def main():
         "",
         "## Efficiency = throughput(4N) / (4 × throughput(N))",
         "",
-        "| job | median-rep efficiency | min-rep efficiency |",
-        "|---|---|---|",
+        "Per-rep efficiency pairs each rep's t(N) with the SAME rep's "
+        "t(4N) — the two legs of a rep run back-to-back, so they share a "
+        "machine window. (A cross-rep pairing of median times can match "
+        "a clean-window leg against a degraded-window leg and report a "
+        "number no actual rep produced.)",
+        "",
+        "| job | " + " | ".join(f"rep{i} eff" for i in range(reps))
+        + " | median-rep | best-rep |",
+        "|---|" + "---|" * (reps + 2),
     ]
     for q in queries:
-        med_eff = (rows / statistics.median(per_rep[q]["t_4n"])) / \
-            (4.0 * rows / statistics.median(per_rep[q]["t_n"]))
-        min_eff = (rows / min(per_rep[q]["t_4n"])) / \
-            (4.0 * rows / min(per_rep[q]["t_n"]))
+        effs = [tn / (4.0 * t4) for tn, t4 in
+                zip(per_rep[q]["t_n"], per_rep[q]["t_4n"])]
+        med_eff = statistics.median(effs)
+        best_eff = max(effs)
         report[q] = {
             "t_n_median": statistics.median(per_rep[q]["t_n"]),
             "t_4n_median": statistics.median(per_rep[q]["t_4n"]),
             "t_n_min": min(per_rep[q]["t_n"]),
             "t_4n_min": min(per_rep[q]["t_4n"]),
+            "efficiency_per_rep": [round(e, 3) for e in effs],
             "efficiency_median": round(med_eff, 3),
-            "efficiency_min": round(min_eff, 3),
+            "efficiency_best": round(best_eff, 3),
         }
-        lines.append(f"| {q} | **{med_eff:.3f}** | {min_eff:.3f} |")
+        lines.append(
+            f"| {q} | " + " | ".join(f"{e:.3f}" for e in effs)
+            + f" | **{med_eff:.3f}** | {best_eff:.3f} |")
     lines += [
         "",
         "North-rule criterion: ≥ 0.8 on the same job at two parallelism "
         "levels. The gate is claimed on the MEDIAN rep (steal-robust); "
-        "the min column shows the best observed steady state.",
+        "the best-rep column shows the best observed steady state.",
         "",
         "Machine-window calibration: the rowpass kernel (one projection, "
         "zero shuffles, zero driver tail) is the ceiling any job can "
