@@ -69,9 +69,17 @@ def session_window_counts(events: DataFrame, user_col: str = "user_id",
     """The same aggregate via Spark's NATIVE session_window — works on a
     batch DataFrame and, with a watermark, on a stream (state evicted
     past the watermark; the streaming path for this operator). Returns
-    the same columns as sessionize() minus session_seq."""
-    ts = F.col(ts_col).cast("timestamp")
-    return (events.withColumn(ts_col, ts)
+    the same columns as sessionize() minus session_seq.
+
+    The cast projection is SKIPPED when ts_col is already a timestamp:
+    replacing a watermarked column with an expression (even an identity
+    cast) drops the watermark tag, and the downstream streaming
+    aggregate then rejects append mode."""
+    from pyspark.sql.types import TimestampType
+
+    if not isinstance(events.schema[ts_col].dataType, TimestampType):
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (events
             .groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
                      F.col(user_col))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
