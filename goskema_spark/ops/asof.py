@@ -50,8 +50,20 @@ from pyspark.sql import DataFrame, Window, functions as F
 _MATCH = "_gsk_asof"
 
 
-def _check_args(left: DataFrame, payload, direction: str, how: str,
-                right_ts_out: str) -> None:
+_RESERVED = {"_t", "_side", "_b", "_lt", "_rt", "_hit",
+             "_local", "_carry", "_bm", _MATCH}
+
+
+def _check_reserved(*dfs: DataFrame) -> None:
+    used = set().union(*(df.columns for df in dfs)) & _RESERVED
+    if used:
+        raise ValueError(
+            f"input columns {sorted(used)} collide with internal working "
+            "columns of the as-of/range join; rename them first")
+
+
+def _check_args(left: DataFrame, right: DataFrame, payload, direction: str,
+                how: str, right_ts_out: str) -> None:
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if how not in ("left", "inner"):
@@ -61,6 +73,7 @@ def _check_args(left: DataFrame, payload, direction: str, how: str,
         raise ValueError(
             f"output columns {sorted(clash)} collide with left columns; "
             "rename via payload aliases or right_ts_out")
+    _check_reserved(left, right)
 
 
 def _prep(left: DataFrame, right: DataFrame, on: Sequence[str],
@@ -86,6 +99,14 @@ def _prep(left: DataFrame, right: DataFrame, on: Sequence[str],
             right.select(match.alias(_MATCH)).schema[_MATCH].dataType
         ).alias(_MATCH),
     )
+    # SQL join semantics: a NULL key never matches (NULL = NULL is not
+    # true), and a NULL right_ts row has no position on the time axis —
+    # drop both from the right side. A left row with a NULL key then
+    # simply finds no right rows in its partition and stays unmatched.
+    null_free = F.col(right_ts).isNotNull()
+    for k in on:
+        null_free = null_free & F.col(k).isNotNull()
+    right = right.filter(null_free)
     ru = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in l_cols if c not in on],
@@ -132,7 +153,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     right_ts = right_ts or left_ts
     if payload is None:
         payload = [c for c in right.columns if c not in on and c != right_ts]
-    _check_args(left, payload, direction, how, right_ts_out)
+    _check_args(left, right, payload, direction, how, right_ts_out)
     u = _prep(left, right, list(on), left_ts, right_ts, list(payload),
               direction)
     # rows ordered by (axis, side): at equal timestamps the right row
@@ -163,7 +184,7 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, on: Sequence[str],
     right_ts = right_ts or left_ts
     if payload is None:
         payload = [c for c in right.columns if c not in on and c != right_ts]
-    _check_args(left, payload, direction, how, right_ts_out)
+    _check_args(left, right, payload, direction, how, right_ts_out)
     on = list(on)
     u = _prep(left, right, on, left_ts, right_ts, list(payload), direction)
     u = u.withColumn("_b", F.floor(F.col("_t") / F.lit(int(bucket_us))))
@@ -207,6 +228,10 @@ def range_join_count(left: DataFrame, right: DataFrame, on: Sequence[str],
     on = list(on)
     if hi_us <= lo_us:
         raise ValueError("range_join_count needs hi_us > lo_us")
+    _check_reserved(left, right)
+    if count_col in left.columns:
+        raise ValueError(f"output column {count_col!r} collides with a "
+                         "left column; pass a different count_col")
     width = int(hi_us - lo_us)
     lmic = F.unix_micros(F.col(left_ts).cast("timestamp"))
     rmic = F.unix_micros(F.col(right_ts).cast("timestamp"))

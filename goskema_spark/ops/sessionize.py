@@ -75,9 +75,10 @@ def session_window_counts(events: DataFrame, user_col: str = "user_id",
     replacing a watermarked column with an expression (even an identity
     cast) drops the watermark tag, and the downstream streaming
     aggregate then rejects append mode."""
-    from pyspark.sql.types import TimestampType
+    from pyspark.sql.types import TimestampNTZType, TimestampType
 
-    if not isinstance(events.schema[ts_col].dataType, TimestampType):
+    if not isinstance(events.schema[ts_col].dataType,
+                      (TimestampType, TimestampNTZType)):
         events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (events
             .groupBy(F.session_window(F.col(ts_col), gap).alias("w"),

@@ -64,8 +64,9 @@ def test_backward_matches_brute(spark, sides):
     got = _collect(asof_join(left, right, on=["k"]))
     want = _brute([tuple(r) for r in left.collect()],
                   [tuple(r) for r in right.collect()])
-    # duplicate lid 6 == lid 1 row: dict keyed by lid still covers both
-    assert got == {k: want[k] for k in got}
+    # every left lid present (no rows dropped), every match correct
+    assert set(got) == set(want)
+    assert got == want
     # inclusive boundary: left at minute 10 matches right at minute 10
     assert got[1][1] == 101
 
@@ -75,7 +76,8 @@ def test_forward_and_tolerance(spark, sides):
     fwd = _collect(asof_join(left, right, on=["k"], direction="forward"))
     want = _brute([tuple(r) for r in left.collect()],
                   [tuple(r) for r in right.collect()], direction="forward")
-    assert fwd == {k: want[k] for k in fwd}
+    assert set(fwd) == set(want)
+    assert fwd == want
     # tolerance 2 minutes: left minute 61 -> right minute 60 ok (1m),
     # left minute 5 -> right minute 0 dropped (5m)
     tol = _collect(asof_join(left, right, on=["k"],
@@ -172,3 +174,34 @@ def test_arg_guards(spark, sides):
         asof_join(left, right.withColumnRenamed("val", "lid"), on=["k"])
     with pytest.raises(ValueError, match="hi_us > lo_us"):
         range_join_count(left, right, on=["k"], lo_us=10, hi_us=10)
+
+
+def test_null_keys_and_null_right_ts(spark):
+    """SQL semantics: NULL keys never match (plain ≡ bucketed), and a
+    right row with NULL ts neither matches nor leaks payload."""
+    left = spark.createDataFrame(
+        [(0, None, _ts(10)), (1, "a", _ts(10))],
+        "lid long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [(100, None, _ts(5), 7.0),     # NULL key: must never match
+         (101, "a", None, 9.0),        # NULL ts: no position on axis
+         (102, "a", _ts(3), 1.0)],
+        "rid long, k string, ts timestamp, val double")
+    for fn, kw in ((asof_join, {}),
+                   (asof_join_bucketed, {"bucket_us": 60_000_000})):
+        rows = {r["lid"]: r for r in
+                fn(left, right, on=["k"], **kw).collect()}
+        assert rows[0]["matched_ts"] is None and rows[0]["val"] is None
+        # the NULL-ts right row must not shadow the real match
+        assert rows[1]["rid"] == 102 and rows[1]["val"] == 1.0
+
+
+def test_reserved_column_guard(spark, sides):
+    left, right = sides
+    with pytest.raises(ValueError, match="internal working"):
+        asof_join(left.withColumn("_t", F.lit(1)), right, on=["k"])
+    with pytest.raises(ValueError, match="internal working"):
+        range_join_count(left, right.withColumn("_b", F.lit(1)), on=["k"])
+    with pytest.raises(ValueError, match="count_col"):
+        range_join_count(left.withColumn("n_in_range", F.lit(1)),
+                         right, on=["k"])

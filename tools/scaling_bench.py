@@ -5,8 +5,9 @@ local[4N] on identical input).
 Runs bench.py in fresh subprocesses (fresh JVM per parallelism level),
 same materialized corpus, interleaved A/B reps, and writes
 BENCH/BASELINE.md with PER-REP raw timings (auditable evidence, VERDICT
-r3 #1) plus efficiency at both the MEDIAN and the MIN rep — the gate is
-claimed on the median, not a lucky minimum.
+r3 #1) plus per-rep efficiencies (each rep pairs t(N) with the SAME
+rep's t(4N) — one machine window) — the gate is claimed on the median
+rep, not a lucky best.
 
 Usage: python tools/scaling_bench.py [N] [replicate] [reps]
        (default N=2 -> 4N=8, replicate=8192, reps=5)
@@ -152,6 +153,12 @@ def write_report(sf, rows, n, n4, reps, replicate, per_rep):
         "North-rule criterion: ≥ 0.8 on the same job at two parallelism "
         "levels. The gate is claimed on the MEDIAN rep (steal-robust); "
         "the best-rep column shows the best observed steady state.",
+        "",
+        "Same-window normalization: read full_validation's per-rep "
+        "efficiency against the SAME rep's rowpass kernel (one "
+        "projection, zero shuffles, zero driver tail — the ceiling any "
+        "job can reach in that window). A rep where the kernel itself "
+        "dips is a degraded host window, not engine serialization.",
         "",
         "Machine-window calibration: the rowpass kernel (one projection, "
         "zero shuffles, zero driver tail) is the ceiling any job can "
