@@ -8,6 +8,7 @@ Usage: python tools/check_oracle.py [key ...]   (all keys if none given)
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -16,7 +17,7 @@ from pyspark.sql import SparkSession
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entry  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("GSK_ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
