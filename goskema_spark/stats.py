@@ -89,3 +89,30 @@ def numeric_quantiles(df: DataFrame, column: str,
         F.avg(col).cast("double").alias("avg_v"),
         *aggs,
     )
+
+
+def distinct_sketches(df: DataFrame, columns, by: str = None,
+                      lg_k: int = 12) -> DataFrame:
+    """Mergeable DataSketches HLL sketch binaries per column (optionally
+    per `by` group) — the INCREMENTAL distinct-count path for 100 TB:
+    profile each shard/partition/day as it lands, store the (tiny,
+    <= 2^lg_k registers) sketch rows, and combine later with
+    merged_distinct() WITHOUT rescanning old data. Sketch union is
+    exactly associative at a fixed lg_k (test-asserted: merging
+    per-source sketches reproduces the whole-table estimate
+    bit-for-bit), unlike approx_count_distinct whose state is opaque
+    to the DataFrame API."""
+    if by is not None and by in columns:
+        raise ValueError(f"group column {by!r} cannot also be sketched; "
+                         "its distinct values are the group rows themselves")
+    aggs = [F.hll_sketch_agg(F.col(c), F.lit(lg_k)).alias(c)
+            for c in sorted(columns)]
+    return df.groupBy(by).agg(*aggs) if by else df.agg(*aggs)
+
+
+def merged_distinct(sketches: DataFrame, columns) -> DataFrame:
+    """Union previously-saved sketch rows (any grouping) into one global
+    estimate per column: one row, n_distinct estimates as bigint."""
+    return sketches.agg(*[
+        F.hll_sketch_estimate(F.hll_union_agg(F.col(c), True)).cast("bigint")
+        .alias(c) for c in sorted(columns)])

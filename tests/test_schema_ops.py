@@ -502,3 +502,26 @@ def test_wide_array_gate_breaks_exactness():
     assert c.gate_is_exact()
     c.add_array(F2.array().cast(_VIOL_ARR_DDL), gate=F2.lit(True), exact=False)
     assert not c.gate_is_exact()
+
+
+def test_incremental_distinct_sketches_merge_exactly(spark):
+    """Merging per-source sketches reproduces the whole-table count
+    within the HLL error bound, deterministically — the incremental
+    (shard-at-a-time) profiling path."""
+    from goskema_spark.stats import distinct_sketches, merged_distinct
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cols = ["doc_id", "n_chars"]
+    per_source = distinct_sketches(df, cols, by="source")
+    merged = merged_distinct(per_source, cols).collect()[0]
+    again = merged_distinct(per_source, cols).collect()[0]
+    assert merged.asDict() == again.asDict()  # deterministic
+    truth = df.selectExpr(*[f"count(distinct {c}) AS {c}" for c in cols]) \
+        .collect()[0]
+    # lg_k=12 -> rel. std err ~1.6%; allow 3 sigma + integer slack
+    for c in cols:
+        assert abs(merged[c] - truth[c]) <= max(3, 0.05 * truth[c]), c
+    # group column cannot be sketched alongside
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="cannot also be sketched"):
+        distinct_sketches(df, ["doc_id", "source"], by="source")
