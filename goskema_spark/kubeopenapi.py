@@ -600,13 +600,17 @@ def _strict_loader_cls():
 
     class _StrictLoader(yaml.SafeLoader):
         def construct_mapping(self, node, deep=False):
-            # resolve merge keys (<<) first, exactly as SafeLoader does,
-            # so merged-in keys are not misread as duplicates; flatten
-            # is a no-op on a second call
-            if isinstance(node, yaml.MappingNode):
-                self.flatten_mapping(node)
+            # duplicate detection runs on the ORIGINAL key nodes, BEFORE
+            # merge-key flattening: flatten_mapping PREPENDS the merged
+            # pairs into node.value, so a local key that overrides a
+            # merged-in key (`<<: *base` + `a: 3`) would appear twice
+            # after flattening — that is a legal YAML override, not a
+            # duplicate. The `<<` merge keys themselves are skipped
+            # (they are directives, not data keys).
             first = {}
             for k_node, _ in node.value:
+                if k_node.tag == "tag:yaml.org,2002:merge":
+                    continue
                 key = self.construct_object(k_node, deep=True)
                 try:
                     hash(key)
@@ -620,6 +624,8 @@ def _strict_loader_cls():
                         k_node.start_mark.column + 1)
                 first[key] = (k_node.start_mark.line + 1,
                               k_node.start_mark.column + 1)
+            if isinstance(node, yaml.MappingNode):
+                self.flatten_mapping(node)
             return super().construct_mapping(node, deep=deep)
 
     return _StrictLoader

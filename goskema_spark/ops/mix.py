@@ -51,6 +51,12 @@ def mixture_rates(totals: dict, weights: dict, token_budget: int,
     trade-off, not silently re-normalized."""
     if token_budget < 0:
         raise ValueError("token_budget must be >= 0")
+    if None in weights:
+        # a None key would (a) crash sorted() over mixed None/str keys
+        # and (b) become a null map key, which Spark rejects at runtime;
+        # a NULL source is data corruption, not a mixable dataset
+        raise ValueError("mixture weights cannot key the NULL source; "
+                         "repair source labels first")
     wsum = float(sum(weights.values()))
     if wsum <= 0:
         raise ValueError("mixture weights must sum > 0")
@@ -77,11 +83,16 @@ def build_mixture(df: DataFrame, weights: dict, token_budget: int,
     """(mixture DataFrame, rates). The mixture carries an `epoch` column
     (always 0 when upsample=False). Deterministic: same corpus + weights
     + budget + seed -> the same mixture, on any cluster size."""
-    totals = source_token_totals(df, source_col, ntok_col)
-    rates = mixture_rates(totals, weights, token_budget, upsample=upsample)
+    # cheap declaration guards BEFORE the full-corpus totals aggregate —
+    # never run a 100 TB scan for a call that is guaranteed to raise
     if "epoch" in df.columns:
         raise ValueError("build_mixture adds an `epoch` column; rename "
                          "the existing one first")
+    # empty-totals dry run fires every weight/budget validation (None
+    # key, negative weight, wsum, budget sign) before the scan
+    mixture_rates({}, weights, token_budget, upsample=upsample)
+    totals = source_token_totals(df, source_col, ntok_col)
+    rates = mixture_rates(totals, weights, token_budget, upsample=upsample)
 
     if not rates:
         return (df.filter(F.lit(False)).withColumn("epoch", F.lit(0)), rates)

@@ -62,16 +62,23 @@ def stratified_sample(df: DataFrame, rates: dict, strata_col: str = "source",
     The stratum -> threshold lookup is ONE map-literal expression, not a
     CASE-WHEN chain: a chain nests one CaseWhen per stratum (expression
     tree depth O(#strata) — a plan/codegen bomb at 10^4 strata), while
-    GetMapValue stays a single flat node whatever the cardinality. A
-    NULL or unlisted stratum falls through to default_rate."""
+    GetMapValue stays a single flat node whatever the cardinality. An
+    unlisted stratum falls through to default_rate; a NULL stratum uses
+    rates[None] when given (NULL cannot be a map key — Spark rejects
+    null map keys at runtime — so it routes through an explicit isNull
+    branch), else default_rate."""
     hx = F.substring(F.md5(F.concat(F.lit(seed + "|"),
                                     F.col(key_col).cast("string"))), 1, 8)
     thr = F.lit(_hex_threshold(default_rate))
-    if rates:
+    named = sorted((v, r) for v, r in rates.items() if v is not None)
+    if named:
         m = F.create_map(*[
-            lit for val, rate in sorted(rates.items())
+            lit for val, rate in named
             for lit in (F.lit(val), F.lit(_hex_threshold(rate)))])
         thr = F.coalesce(m[F.col(strata_col)], thr)
+    if None in rates:
+        thr = F.when(F.col(strata_col).isNull(),
+                     F.lit(_hex_threshold(rates[None]))).otherwise(thr)
     return df.filter(hx < thr)
 
 

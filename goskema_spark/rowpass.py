@@ -415,6 +415,11 @@ def _compile_nested(out: CompiledChecks, f: Field, col: Column, p, phys_type):
             f"column type is {_type_str(phys_type) or 'unknown'}"
         )
     sub = CompiledChecks()
+    # propagate the ingest presence map so anyOf fields INSIDE nested
+    # objects resolve against recorded wire-type bits exactly like
+    # top-level and union-variant fields do (the nested pointer is a
+    # static str, so the map lookup works unchanged)
+    sub.presence = out.presence
     _compile_object(sub, sub_schema, col, p, phys_type)
     _gate_checks(out, sub, col.isNotNull())
 

@@ -32,6 +32,36 @@ from goskema_spark.issues import Codes, MSG_DUPLICATE_VALUE, pointer
 from goskema_spark.rowpass import violation
 
 
+# HLL register count scales 1/rsd^2 — rsd=0.01 measured 4x slower than
+# this setting for no decision-quality gain at the 4M-key threshold
+PROBE_RSD = 0.03
+
+# default dup-key count above which the dup-key relation is NOT
+# broadcast (driver-memory guard; ~16B/key -> 64MB at the threshold,
+# with 2-4x headroom against typical driver heaps)
+BROADCAST_THRESHOLD_KEYS = 4_000_000
+
+
+def dup_extras_upper_bound(df: DataFrame, key: str,
+                           rsd: float = PROBE_RSD) -> int:
+    """HLL upper bound on the number of duplicated keys: dup_keys <=
+    count - distinct (each duplicated key contributes at least one extra
+    occurrence). The 2-sigma margin on rsd keeps the bound conservative:
+    an HLL UNDER-estimate of distinct only inflates the extras bound,
+    pushing toward the safe (non-broadcast) side; the opposite tail
+    (<2.5%) would need true extras within margin of the threshold, which
+    itself has 2-4x driver-memory headroom. The scan is column-pruned to
+    the key and shuffles ~one sketch per task — the probe cost scales
+    with cores, unlike a key shuffle (the r4 exact dup-hash probe this
+    replaced measured 12-21 s at 41M rows / local[8])."""
+    kc = F.col(key)
+    stats = (df.filter(kc.isNotNull())
+             .agg(F.count(F.lit(1)).alias("_n"),
+                  F.approx_count_distinct(kc, rsd=rsd).alias("_d"))
+             .collect()[0])
+    return stats["_n"] - int(stats["_d"] * (1 - 2 * rsd))
+
+
 def duplicate_keys(df: DataFrame, key: str, salt_buckets: int = 0) -> DataFrame:
     """Keys occurring more than once -> (key, cnt).
 
@@ -63,7 +93,7 @@ def duplicate_keys(df: DataFrame, key: str, salt_buckets: int = 0) -> DataFrame:
 def uniqueness_violations(df: DataFrame, key: str, ordinal: str,
                           row_id: Column, carry=(),
                           broadcast=True,
-                          broadcast_threshold_keys: int = 4_000_000,
+                          broadcast_threshold_keys: int = BROADCAST_THRESHOLD_KEYS,
                           persisted=None) -> DataFrame:
     """Violation rows for every non-first occurrence of a duplicated key.
 
@@ -106,22 +136,7 @@ def uniqueness_violations(df: DataFrame, key: str, ordinal: str,
             .filter(F.col("_cnt") > 1)
             .select("_kh"))
     if broadcast == "auto":
-        # HLL probe: dup_keys <= count - distinct (each duplicated key
-        # contributes at least one extra occurrence). The 2-sigma margin
-        # on rsd keeps the bound conservative: an HLL UNDER-estimate of
-        # distinct only inflates the extras bound, pushing toward the
-        # safe (non-broadcast) side; the opposite tail (<2.5%) would
-        # need true extras within margin of the threshold, which itself
-        # has 2-4x driver-memory headroom. rsd=0.03 because HLL register
-        # count scales 1/rsd^2 (rsd=0.01 measured 4x slower). The scan is
-        # column-pruned to the key and shuffles ~one sketch per task —
-        # the probe cost scales with cores, unlike a key shuffle.
-        rsd = 0.03
-        stats = (df.filter(kc.isNotNull())
-                 .agg(F.count(F.lit(1)).alias("_n"),
-                      F.approx_count_distinct(kc, rsd=rsd).alias("_d"))
-                 .collect()[0])
-        extras_upper = stats["_n"] - int(stats["_d"] * (1 - 2 * rsd))
+        extras_upper = dup_extras_upper_bound(df, key)
         broadcast = extras_upper <= broadcast_threshold_keys
     if broadcast:
         dups = F.broadcast(dups)

@@ -16,7 +16,8 @@ import pytest
 from pyspark.sql import functions as F, types as T
 
 from goskema_spark.ingest import ParseOpts, ingest_json
-from goskema_spark.kubeopenapi import import_crd_yaml, import_openapi
+from goskema_spark.kubeopenapi import (DuplicateKeyError, import_crd_yaml,
+                                       import_openapi, strict_yaml_load_all)
 from goskema_spark.rowpass import validate_rows
 from goskema_spark.schema import ArraySpec, MapSpec, TableSchema
 
@@ -289,6 +290,48 @@ def test_anyof_wire_type_fidelity_post_ingest(spark):
     got3 = {(r["row_id"], r["code"]) for r in viols3.collect()
             if r["code"] in ("no_match", "ambiguous_match")}
     assert got3 == {("c", "ambiguous_match")}  # 2.5 matches number only
+
+
+def test_anyof_wire_type_fidelity_nested(spark):
+    """The ingest presence map must propagate into NESTED object
+    schemas: an anyOf field inside a nested struct resolves on the
+    recorded wire type exactly like a top-level one (r5 review:
+    _compile_nested dropped out.presence, so nested anyOf fell back to
+    the castability approximation and '123' was wrongly ambiguous)."""
+    sch, _ = import_openapi({
+        "type": "object",
+        "properties": {
+            "id": {"type": "string"},
+            "spec": {"type": "object",
+                     "properties": {
+                         "replicas": {"anyOf": [{"type": "string"},
+                                                {"type": "integer"}]}}},
+        },
+        "required": ["id"],
+    })
+    sch.unknown = "strip"
+    raw = spark.createDataFrame(
+        [('{"id":"a","spec":{"replicas":"123"}}',)],
+        T.StructType([T.StructField("payload", T.StringType(), False)]))
+    parsed = ingest_json(raw, sch)
+    _, viols, _ = validate_rows(parsed, sch, F.col("id"))
+    got = {(r["row_id"], r["path"], r["code"]) for r in viols.collect()
+           if r["code"] in ("no_match", "ambiguous_match")}
+    assert got == set()  # wire string -> exactly one branch, even nested
+
+
+def test_strict_yaml_merge_key_override():
+    """YAML merge-key overrides (`<<: *base` + a local re-set of a
+    merged key) are legal YAML, NOT duplicates — flatten_mapping
+    prepends merged pairs, so dup detection must run on the original
+    key nodes (r5 review finding, confirmed by execution)."""
+    docs = strict_yaml_load_all(
+        "base: &b\n  a: 1\n  b: 2\nderived:\n  <<: *b\n  a: 3\n")
+    assert docs == [{"base": {"a": 1, "b": 2},
+                     "derived": {"a": 3, "b": 2}}]
+    # a true local duplicate NEXT TO a merge key is still caught
+    with pytest.raises(DuplicateKeyError):
+        strict_yaml_load_all("base: &b\n  q: 1\nd:\n  <<: *b\n  a: 1\n  a: 2\n")
 
 
 def test_number_items_maximum_inclusive(spark):

@@ -100,6 +100,10 @@ def test_build_mixture_guards(spark):
     assert rates == {}
     assert out.count() == 0
     assert "epoch" in out.columns
+    # a None weight key would become a null map key (Spark rejects those
+    # at runtime) — refused loudly, BEFORE the totals scan
+    with pytest.raises(ValueError, match="NULL source"):
+        build_mixture(_corpus(spark), {None: 1.0, "a": 1.0}, 100)
 
 
 def test_mixture_plan_is_narrow(spark):

@@ -61,6 +61,25 @@ def test_stratified_sample_rates(spark):
         {r["doc_id"] for r in plain.collect()}
 
 
+def test_stratified_sample_null_stratum(spark):
+    """rates may key None for NULL strata (r5 review: None as a map-literal
+    key crashes Spark at runtime and sorted() at plan time; it now routes
+    through an explicit isNull branch)."""
+    df = _docs(spark).withColumn(
+        "source", F.when(F.col("source") == "src1", None)
+        .otherwise(F.col("source")))
+    out = stratified_sample(df, {None: 1.0, "src0": 0.0}, "source",
+                            "doc_id", default_rate=0.0)
+    rows = out.groupBy("source").count().collect()
+    by = {r["source"]: r["count"] for r in rows}
+    assert by == {None: 400}  # NULL stratum kept in full, others dropped
+    # without a None entry, NULL strata fall through to default_rate
+    out2 = stratified_sample(df, {"src0": 1.0}, "source", "doc_id",
+                             default_rate=0.0)
+    assert {r["source"] for r in out2.select("source").distinct().collect()} \
+        == {"src0"}
+
+
 def test_stratified_sample_plan_flat_in_strata(spark):
     """The stratum threshold lookup is one map-literal GetMapValue, not
     a nested CaseWhen chain — expression tree DEPTH must not grow with

@@ -58,21 +58,21 @@ def main():
         t0 = time.time()
 
         # phase: probe (the broadcast='auto' HLL bound — r5: column-pruned
-        # scan + sketch merge, no key shuffle, nothing persisted)
-        kc = F.col("doc_id")
-        stats_row = (df.filter(kc.isNotNull())
-                     .agg(F.count(F.lit(1)).alias("_n"),
-                          F.approx_count_distinct(kc, rsd=0.03).alias("_d"))
-                     .collect()[0])
-        extras_upper = stats_row["_n"] - int(stats_row["_d"] * 0.94)
-        assert extras_upper <= 4_000_000, extras_upper
+        # scan + sketch merge, no key shuffle, nothing persisted). Reuses
+        # the PRODUCTION probe so the timing can never drift from what
+        # validate() actually runs.
+        from goskema_spark.uniqueness import (BROADCAST_THRESHOLD_KEYS,
+                                              dup_extras_upper_bound)
+        extras_upper = dup_extras_upper_bound(df, "doc_id")
+        probe_broadcast = extras_upper <= BROADCAST_THRESHOLD_KEYS
         t["probe"] = time.time() - t0; t0 = time.time()
 
-        # phase: build (python plan assembly, broadcast=True -> no extra job)
+        # phase: build (python plan assembly; probe_broadcast mirrors the
+        # auto decision the real job would take -> no extra job either way)
         ann, _, _ = validate_rows(df, schema, row_id_col())
         carry = ["source"]
         uv = uniqueness_violations(df, "doc_id", "_ord", row_id_col(),
-                                   carry=carry, broadcast=True)
+                                   carry=carry, broadcast=probe_broadcast)
         rv = referential_violations(df, "source", dim, "source",
                                     row_id_col(), code="invalid_enum", carry=carry)
         rp = explode_with_carry(ann, row_id_col(), carry)
