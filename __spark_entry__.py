@@ -410,6 +410,25 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("rank").cast("bigint"), F.col("cos").cast("double"))
 
 
+def _q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column integrity profile (NULL/ragged/NaN/zero/norms)
+    per label — the validation engine's per-column stats extended to
+    vector payloads (ops/similarity.embedding_profile)."""
+    from goskema_spark.ops.similarity import embedding_profile
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    prof = embedding_profile(emb, vec_col="embedding", by="label",
+                             expected_dim=64)
+    return prof.select(
+        "label",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_null").cast("bigint").alias("n_null"),
+        F.col("n_dims").cast("bigint").alias("n_dims"),
+        F.col("n_dim_mismatch").cast("bigint").alias("n_dim_mismatch"),
+        F.col("n_bad").cast("bigint").alias("n_bad"),
+        F.col("n_zero").cast("bigint").alias("n_zero"),
+        "min_norm", "max_norm", "avg_norm")
+
+
 def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation over the events stream table (the batch
     twin of the Structured Streaming pipeline in goskema_spark.streaming)."""
@@ -948,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_jaccard,
         "simhash_signatures": _q_simhash,
         "embedding_cosine_topk": _q_embedding_topk,
+        "embedding_profile": _q_embedding_profile,
         "events_hourly_window": _q_events_window,
         "tpch_pricing_summary": _q_tpch_pricing,
         "tpch_segment_revenue": _q_tpch_segment_revenue,
@@ -1313,6 +1333,34 @@ ranked AS (
 SELECT CAST(q_id AS BIGINT) AS q_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
        CAST(rank AS BIGINT) AS rank, cos
 FROM ranked WHERE rank <= 5""",
+        "embedding_profile": """
+WITH per AS (
+  SELECT label,
+         (embedding IS NULL) AS is_null,
+         CASE WHEN embedding IS NOT NULL THEN len(embedding) END AS dim,
+         CASE WHEN embedding IS NOT NULL THEN
+              len(list_filter(embedding,
+                  x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 END AS bad,
+         embedding
+  FROM embeddings),
+pn AS (
+  SELECT label, is_null, dim, bad,
+         CASE WHEN is_null OR bad THEN NULL
+              -- COALESCE: list_sum of an EMPTY list is NULL in DuckDB,
+              -- while Spark's fold returns its 0.0 init — align on 0
+              ELSE ROUND(sqrt(COALESCE(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0)), 6) END AS nrm
+  FROM per)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT dim) AS BIGINT) AS n_dims,
+       CAST(SUM(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_dim_mismatch,
+       CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+       CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+       ROUND(AVG(nrm), 4) AS avg_norm
+FROM pn GROUP BY label""",
         "events_hourly_window": """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
        CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS sum_value

@@ -321,3 +321,63 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("q_id", "neighbor_id", "rank", "cos"))
+
+
+def embedding_profile(df: DataFrame, vec_col: str = "embedding",
+                      by: str = "label",
+                      expected_dim: int | None = None) -> DataFrame:
+    """Integrity profile of an embedding column — the engine's
+    per-column stats (stats.py) extended to vector payloads. Catches the
+    classic embedding-pipeline failure modes before a training run
+    consumes them: NULL vectors, ragged dimensions (truncated writes),
+    NaN/Inf elements (fp16 overflow upstream), zero vectors (dead
+    encoder), and L2-norm outliers (un-normalized batches).
+
+    ONE grouped hash aggregate over JVM-side expressions — no Python,
+    ONE exchange (n_dims uses size(collect_set), which partial-merges
+    map-side, instead of countDistinct, whose rewrite would add a second
+    exchange on (by, dim)). The O(dim) array folds happen in a
+    pre-projection, ONCE per row: higher-order functions are
+    CodegenFallback, so the aggregate layer cannot share subexpressions —
+    inlining the fold into each of the 4-5 norm aggregates re-evaluates
+    it that many times per row (plan-verified). Norms fold sequentially
+    in double precision and round to 6 dp (row-deterministic and
+    engine-portable, like `norm`); avg_norm rounds to 4 dp (parallel sum
+    order varies in the last bits).
+
+    expected_dim: when given, `n_dim_mismatch` counts vectors whose
+    length differs; `n_dims` (distinct lengths) flags raggedness either
+    way. A NULL vector counts only in n_null — its dim/badness/norm are
+    excluded rather than polluting the other counters. "Bad" means a
+    NULL element, NaN, or EXACT ±Inf — a finite float32 of any
+    magnitude is data, not corruption."""
+    v = F.col(vec_col)
+    is_null = v.isNull()
+    dim = F.when(~is_null, F.size(v))
+    bad = F.when(~is_null, F.exists(
+        v, lambda x: x.isNull() | F.isnan(x)
+        | (F.abs(x) == F.lit(float("inf")))))
+    # two projections so the exists() scan runs ONCE: _nrm's gate reads
+    # the _bad alias instead of re-inlining the scan (CollapseProject
+    # keeps them separate — _bad is referenced twice and non-cheap)
+    pre = df.select(F.col(by), v.alias("_v"), is_null.alias("_null"),
+                    dim.alias("_dim"), bad.alias("_bad"))
+    nrm = F.when(~F.col("_null") & ~F.col("_bad"),
+                 F.round(norm(F.col("_v")), 6))
+    pre = pre.select(by, "_null", "_dim", "_bad", nrm.alias("_nrm"))
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_null").cast("int")).alias("n_null"),
+        F.size(F.collect_set("_dim")).cast("bigint").alias("n_dims"),
+        F.sum(F.coalesce(F.col("_bad").cast("int"), F.lit(0))).alias("n_bad"),
+        F.sum(F.coalesce((F.col("_nrm") == 0).cast("int"),
+                         F.lit(0))).alias("n_zero"),
+        F.min("_nrm").alias("min_norm"),
+        F.max("_nrm").alias("max_norm"),
+        F.round(F.avg("_nrm"), 4).alias("avg_norm"),
+    ]
+    if expected_dim is not None:
+        aggs.insert(3, F.sum(F.coalesce(
+            (F.col("_dim") != expected_dim).cast("int"),
+            F.lit(0))).alias("n_dim_mismatch"))
+    return pre.groupBy(by).agg(*aggs)

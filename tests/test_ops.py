@@ -340,3 +340,40 @@ def test_frequent_ngrams_sketch_candidates_bounded(spark):
     assert 0 < len(rows_out) <= 3
     # 'a b' is the overwhelming heavy hitter -> must be caught
     assert rows_out[0]["gram"] == "a b"
+
+
+def test_embedding_profile_integrity_counters(spark):
+    """embedding_profile flags each failure mode exactly once: NULL
+    vector, ragged dim, NaN element, Inf element, NULL element, zero
+    vector — and norm stats exclude the polluted rows."""
+    from goskema_spark.ops.similarity import embedding_profile
+    rows = [
+        (0, [3.0, 4.0], 0),          # clean, norm 5
+        (1, None, 0),                # NULL vector
+        (2, [1.0, 0.0, 0.0], 0),     # ragged (dim 3), norm 1
+        (3, [float("nan"), 1.0], 0), # NaN element
+        (4, [float("inf"), 1.0], 0), # Inf element
+        (5, [None, 1.0], 0),         # NULL element
+        (6, [0.0, 0.0], 0),          # zero vector
+    ]
+    df = spark.createDataFrame(
+        rows, T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType())]))
+    out = embedding_profile(df, expected_dim=2).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r["n"] == 7 and r["n_null"] == 1
+    assert r["n_dims"] == 2          # dims {2, 3}; NULL vector excluded
+    assert r["n_dim_mismatch"] == 1  # the dim-3 row
+    assert r["n_bad"] == 3           # NaN + Inf + NULL element
+    assert r["n_zero"] == 1
+    assert r["min_norm"] == 0.0 and r["max_norm"] == 5.0
+    assert abs(r["avg_norm"] - 2.0) < 1e-9  # (5 + 1 + 0) / 3
+    # a finite float32 of huge magnitude is DATA, not corruption —
+    # badness tests exact ±Inf, never a magnitude threshold
+    big = spark.createDataFrame(
+        [(0, [3.2e38, 1.0], 0)], df.schema)
+    rb = embedding_profile(big, expected_dim=2).collect()[0]
+    assert rb["n_bad"] == 0 and rb["n_zero"] == 0

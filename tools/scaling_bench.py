@@ -141,6 +141,8 @@ def write_report(sf, rows, n, n4, reps, replicate, per_rep):
             "t_4n_median": statistics.median(per_rep[q]["t_4n"]),
             "t_n_min": min(per_rep[q]["t_n"]),
             "t_4n_min": min(per_rep[q]["t_4n"]),
+            "seq_per_sec_n": round(rows / statistics.median(per_rep[q]["t_n"])),
+            "seq_per_sec_4n": round(rows / statistics.median(per_rep[q]["t_4n"])),
             "efficiency_per_rep": [round(e, 3) for e in effs],
             "efficiency_median": round(med_eff, 3),
             "efficiency_best": round(best_eff, 3),
@@ -148,6 +150,21 @@ def write_report(sf, rows, n, n4, reps, replicate, per_rep):
         lines.append(
             f"| {q} | " + " | ".join(f"{e:.3f}" for e in effs)
             + f" | **{med_eff:.3f}** | {best_eff:.3f} |")
+    lines += [
+        "",
+        "## Throughput at both parallelism levels (median rep, "
+        "validated sequences/sec)",
+        "",
+        f"| job | local[{n}] seq/s | local[{n4}] seq/s | speedup |",
+        "|---|---|---|---|",
+    ]
+    for q in queries:
+        # read back the medians stored in report[q] above — one
+        # derivation site, so table and raw JSON cannot drift
+        r = report[q]
+        lines.append(
+            f"| {q} | {r['seq_per_sec_n']:,} | {r['seq_per_sec_4n']:,} "
+            f"| {r['t_n_median'] / r['t_4n_median']:.2f}x |")
     lines += [
         "",
         "North-rule criterion: ≥ 0.8 on the same job at two parallelism "
