@@ -168,8 +168,15 @@ def validate(
         # balancing across the input's finer partitioning. repartition
         # keeps the upstream stage wide and only shuffles the (small,
         # violation-rate-bounded) report rows into N write tasks.
-        w = (report.repartition(report_partitions)
-             if report_partitions else report)
+        # Skipped when the input is not wider than the target: a
+        # same-width exchange (e.g. a 32-partition corpus written at 32
+        # report partitions) reshapes nothing and pays a full extra
+        # stage for it — only a genuinely wider upstream amortizes the
+        # shuffle.
+        w = report
+        if report_partitions and \
+                df.rdd.getNumPartitions() > report_partitions:
+            w = report.repartition(report_partitions)
         w.write.mode("overwrite").parquet(report_path)
         report = df.sparkSession.read.parquet(report_path)
         violations = (report.filter(F.col("_rec") == "v")
