@@ -81,7 +81,8 @@ def completed_partitions(spark: SparkSession, ledger_path: str, run_id: str):
     # v1 guard: appending int64 partition_id files into an int32 (v1)
     # directory would write mixed-type parquet that fails on read-back —
     # refuse up front with the migration recipe (module docstring)
-    pid = dict(zip(led.schema.names, led.schema.fields)).get("partition_id")
+    pid = next((f for f in led.schema.fields
+                if f.name == "partition_id"), None)
     if pid is not None and not isinstance(pid.dataType, T.LongType):
         raise ValueError(
             f"ledger at {ledger_path} is format v1 (partition_id "
@@ -139,7 +140,13 @@ def run_with_ledger(
         if not remaining:
             return None
         keep = sorted((s for s in remaining if s is not None))[:fail_partition_limit]
-        df = df.filter(F.col(partition_col).isin(keep))
+        cond = F.col(partition_col).isin(keep)
+        if None in remaining and len(keep) < fail_partition_limit:
+            # the NULL partition fills the remaining quota — isin([])
+            # alone would starve it forever once it is the only one left
+            # (empty batch every resume, never ledgered, never done)
+            cond = cond | F.col(partition_col).isNull()
+        df = df.filter(cond)
     elif not df.select(partition_col).take(1):
         # emptiness probe, not a distinct-collect: partition_col may be
         # higher-cardinality than the ledger protocol expects (it should
@@ -147,7 +154,12 @@ def run_with_ledger(
         # take(1) stops at the first row
         return None
 
-    started = F.current_timestamp()
+    # driver-side wall clock, NOT F.current_timestamp(): the latter is
+    # evaluated once per QUERY, and both timestamp columns land in the
+    # same ledger-write query — started_at would always equal
+    # finished_at, erasing the run duration the lineage row exists for
+    import datetime as _dt
+    started = F.lit(_dt.datetime.now(_dt.timezone.utc))
     res = validate(df, schema, row_id, dims=dims, partition_col=partition_col,
                    uniqueness_scope=full_df, report_path=report_path)
 

@@ -73,6 +73,16 @@ def _check_args(left: DataFrame, right: DataFrame, payload, direction: str,
         raise ValueError(
             f"output columns {sorted(clash)} collide with left columns; "
             "rename via payload aliases or right_ts_out")
+    # the output columns must also be distinct from EACH OTHER —
+    # payload containing right_ts_out (or a repeated payload name)
+    # would emit a duplicate-named column that breaks any downstream
+    # select or parquet write
+    if len(payload) != len(set(payload)):
+        raise ValueError("payload contains duplicate column names")
+    if right_ts_out in payload:
+        raise ValueError(
+            f"right_ts_out {right_ts_out!r} also appears in payload; "
+            "rename one of them")
     _check_reserved(left, right)
 
 

@@ -48,9 +48,13 @@ def chunk_assignments(df: DataFrame, chunk_tokens: int,
     if chunk_tokens <= 0:
         raise ValueError("chunk_tokens must be positive")
     sc = df.sparkSession.sparkContext
-    # null text counts as 0 tokens (a NaN would poison the running sum)
+    # null text counts as 0 tokens — guarded on the INPUT being null,
+    # not by coalescing the result: non-ANSI Spark returns -1 (not NULL)
+    # for size(NULL), which coalesce would keep, silently shifting every
+    # downstream offset backwards at each null document
     base = df.select(*order_cols,
-                     F.coalesce(token_count_ws(F.col(text_col)), F.lit(0))
+                     F.when(F.col(text_col).isNull(), F.lit(0))
+                     .otherwise(token_count_ws(F.col(text_col)))
                      .cast("long").alias("n_tok"))
     if num_parts is None:
         num_parts = base.rdd.getNumPartitions()

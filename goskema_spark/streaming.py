@@ -78,29 +78,56 @@ def validate_stream(
 
 def windowed_counts(stream_df: DataFrame, ts_col: str = "ts",
                     key_col: str = "event_type", window: str = "1 hour",
-                    watermark: str = "2 hours") -> DataFrame:
+                    watermark: str = "2 hours",
+                    value_col: Optional[str] = "value") -> DataFrame:
     """Watermarked tumbling-window aggregation — late data beyond
-    `watermark` is dropped, state is evicted (bounded memory at scale)."""
+    `watermark` is dropped, state is evicted (bounded memory at scale).
+    value_col: numeric column to sum per window (None -> counts only;
+    the default 'value' matches the events table)."""
     # watermarks need TIMESTAMP (with tz); parquet TIMESTAMP_NTZ is cast
     stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    out_cols = [F.col("w.start").alias("window_start"), key_col, "n"]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias(f"sum_{value_col}"))
+        out_cols.append(f"sum_{value_col}")
     return (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
-        .agg(F.count(F.lit(1)).alias("n"),
-             F.sum("value").alias("sum_value"))
-        .select(F.col("w.start").alias("window_start"), key_col, "n", "sum_value")
+        .agg(*aggs)
+        .select(*out_cols)
     )
 
 
 def _duration_ms(s: str) -> int:
-    """Parse a Spark-style duration string ('30 seconds', '1 hour')."""
-    units = {"millisecond": 1, "second": 1000, "minute": 60_000,
-             "hour": 3_600_000, "day": 86_400_000}
-    n, unit = s.strip().split()
-    unit = unit.lower().rstrip("s")
-    if unit not in units:
-        raise ValueError(f"unsupported duration unit in {s!r}")
-    return int(n) * units[unit]
+    """Parse a Spark-style duration string — the same surface
+    withWatermark accepts: abbreviations ('90 min', '10 sec'), weeks,
+    and compound forms ('1 hour 30 minutes')."""
+    units = {"microsecond": 0.001, "us": 0.001,
+             "millisecond": 1, "ms": 1,
+             "second": 1000, "sec": 1000, "s": 1000,
+             "minute": 60_000, "min": 60_000, "m": 60_000,
+             "hour": 3_600_000, "h": 3_600_000,
+             "day": 86_400_000, "d": 86_400_000,
+             "week": 604_800_000, "w": 604_800_000}
+    toks = s.strip().lower().split()
+    if not toks or len(toks) % 2:
+        raise ValueError(f"cannot parse duration {s!r}")
+    total = 0.0
+    for i in range(0, len(toks), 2):
+        unit = toks[i + 1]
+        # exact units win ('ms' is milliseconds, not plural minutes);
+        # otherwise strip a plural 's' ('minutes' -> 'minute')
+        if unit not in units and unit.endswith("s") and len(unit) > 1:
+            unit = unit[:-1]
+        if unit not in units:
+            raise ValueError(f"unsupported duration unit in {s!r}")
+        try:
+            n = float(toks[i])
+        except ValueError:
+            raise ValueError(f"cannot parse duration {s!r}") from None
+        total += n * units[unit]
+    return int(total)
 
 
 def streaming_unique_violations(stream_df: DataFrame, key_col: str = "doc_id",
@@ -265,9 +292,14 @@ def drift_stream(stream_df: DataFrame, column: str, ref: DataFrame,
                 .select("bucket", "cnt").collect()]
 
     src = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    cd = F.col(column).cast("double")
+    cd = F.col(column).try_cast("double")
     hist_stream = (
-        src.filter(F.col(column).isNotNull() & ~F.isnan(cd))
+        # try_cast + isNotNull on the CAST value: a non-numeric string
+        # must drop here, not survive as a NULL width_bucket row that
+        # inflates the window total and distorts PSI (isnan(NULL) is
+        # false, so the raw isNotNull filter alone would pass it) — and
+        # under ANSI a plain cast would kill the stream instead
+        src.filter(cd.isNotNull() & ~F.isnan(cd))
         .withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("w"),
                  F.width_bucket(cd, F.lit(float(lo)), F.lit(float(hi)),

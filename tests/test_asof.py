@@ -205,3 +205,19 @@ def test_reserved_column_guard(spark, sides):
     with pytest.raises(ValueError, match="count_col"):
         range_join_count(left.withColumn("n_in_range", F.lit(1)),
                          right, on=["k"])
+
+
+def test_asof_output_name_collisions_rejected(spark):
+    """r5 review: payload names must be distinct from each other AND
+    from right_ts_out — otherwise the join emits duplicate-named
+    columns that break any downstream select or parquet write."""
+    left = spark.createDataFrame([("k", "2024-01-01 00:00:05")],
+                                 "k string, ts string")
+    right = spark.createDataFrame([("k", "2024-01-01 00:00:01", 1.0)],
+                                  "k string, ts string, price double")
+    with pytest.raises(ValueError, match="payload"):
+        asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                  payload=["price", "price"])
+    with pytest.raises(ValueError, match="right_ts_out"):
+        asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                  payload=["price"], right_ts_out="price")

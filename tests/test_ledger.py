@@ -130,3 +130,28 @@ def test_resume_violations_not_duplicated(spark):
         assert spark.read.parquet(f"{tmp}/v").count() == ref_n
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_fail_limit_reaches_null_partition_and_timestamps(spark):
+    """r5 review: with fail_partition_limit, the NULL partition must be
+    able to fill the batch quota once the named partitions are done —
+    isin([]) alone starved it forever, so a caller looping until None
+    never terminated. Also: started_at must precede finished_at (the
+    start is captured driver-side before validate; a same-query
+    current_timestamp pair always rendered duration zero)."""
+    corpus = corpus_from_documents(spark, SF)
+    dims = {"dim_source": dim_source_df(spark)}
+    tmp = tempfile.mkdtemp()
+    try:
+        rounds = 0
+        while run_with_ledger(spark, corpus, corpus_schema(), row_id_col(),
+                              run_id="nl", ledger_path=f"{tmp}/led",
+                              dims=dims, fail_partition_limit=3) is not None:
+            rounds += 1
+            assert rounds < 30, "resume loop did not terminate"
+        led = read_ledger(spark, f"{tmp}/led", "nl").collect()
+        assert any(r["source"] is None for r in led)  # NULL got ledgered
+        assert all(r["started_at"] <= r["finished_at"] for r in led)
+        assert any(r["started_at"] < r["finished_at"] for r in led)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

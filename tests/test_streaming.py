@@ -4,6 +4,7 @@ watermarked windowed aggregation, streaming dedup."""
 import shutil
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from goskema_spark.corpus import (
@@ -377,3 +378,19 @@ def test_session_window_counts_streaming_matches_batch(spark):
         assert len(got) >= 0.9 * len(expected)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_duration_parser_spark_surface():
+    """_duration_ms accepts what withWatermark accepts: abbreviations,
+    weeks, compound forms — and 'ms' is milliseconds, never plural
+    minutes (r5 review)."""
+    from goskema_spark.streaming import _duration_ms
+    assert _duration_ms("30 seconds") == 30_000
+    assert _duration_ms("90 min") == 5_400_000
+    assert _duration_ms("1 week") == 604_800_000
+    assert _duration_ms("1 hour 30 minutes") == 5_400_000
+    assert _duration_ms("10 ms") == 10
+    with pytest.raises(ValueError):
+        _duration_ms("3 parsecs")
+    with pytest.raises(ValueError):
+        _duration_ms("soon")
