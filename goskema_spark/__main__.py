@@ -55,9 +55,17 @@ def main(argv=None) -> int:
 
     df = load_input(spark, args.input)
     if "_ord" not in df.columns:
-        # a deterministic per-row ordinal for uniqueness first/dup params;
-        # monotonically_increasing_id is partition-stable for a fixed layout
-        df = df.withColumn("_ord", F.monotonically_increasing_id())
+        # content-derived deterministic ordinal for uniqueness first/dup
+        # attribution. NOT monotonically_increasing_id: that expression
+        # is nondeterministic, so (a) Catalyst refuses to push the
+        # ledger's resume partition-prune filter past the projection —
+        # a crash-resume rescanned the whole corpus — and (b) a resume
+        # under a different file layout re-numbers every row, flipping
+        # which duplicate is "first" versus the uninterrupted run.
+        # Caveat: byte-identical duplicate ROWS share an ordinal and
+        # their first/dup attribution degrades; persist a real ordinal
+        # column for that corner (the canonical corpus tables carry one).
+        df = df.withColumn("_ord", F.xxhash64(F.struct(*df.columns)))
     if args.repartition:
         df = df.repartition(args.repartition, F.col("source"), F.xxhash64("doc_id"))
 
@@ -69,9 +77,10 @@ def main(argv=None) -> int:
     else:
         schema.foreign_keys = []
 
-    row_id = F.coalesce(F.col("doc_id"),
-                        F.concat(F.lit("row-"), F.col("_ord").cast("string")))
-    run_with_ledger(spark, df, schema, row_id, run_id=args.run_id,
+    # the ONE row-id contract (corpus.row_id_col, F5) — not a local copy
+    # that could drift from the library and its DuckDB oracle twin
+    from goskema_spark.corpus import row_id_col
+    run_with_ledger(spark, df, schema, row_id_col(), run_id=args.run_id,
                     ledger_path=args.ledger, violations_path=args.violations,
                     dims=dims)
     led = read_ledger(spark, args.ledger, args.run_id)

@@ -33,10 +33,14 @@ def histogram(df: DataFrame, column: str, lo: float, hi: float,
     distributions (each side's NaN row would count in the total but in
     no bucket)."""
     width = (hi - lo) / buckets
-    cd = F.col(column).cast("double")
+    # try_cast + isNotNull on the CAST value, mirroring drift_stream:
+    # a non-numeric string must drop here, not crash the job (ANSI) or
+    # survive as a NULL-bucket row that inflates the totals (non-ANSI,
+    # where isnan(NULL) is false)
+    cd = F.col(column).try_cast("double")
     b = F.width_bucket(cd, F.lit(float(lo)), F.lit(float(hi)), F.lit(buckets))
     return (
-        df.filter(F.col(column).isNotNull() & ~F.isnan(cd))
+        df.filter(cd.isNotNull() & ~F.isnan(cd))
         .groupBy(b.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("bucket_lo", (F.lit(lo) + (F.col("bucket") - 1) * F.lit(width)).cast("double"))
@@ -93,15 +97,23 @@ def psi_ks_between(df_a: DataFrame, df_b: DataFrame, column: str,
     )
     tot = joined.agg(F.sum("cnt_a").alias("ta"), F.sum("cnt_b").alias("tb"))
     j = joined.crossJoin(F.broadcast(tot))
-    p = F.greatest(F.col("cnt_a") / F.col("ta"), F.lit(eps))
-    q = F.greatest(F.col("cnt_b") / F.col("tb"), F.lit(eps))
+    # zero-total guard (mirrors score_grouped_histograms' ta>0 & tb>0
+    # gate): an empty side's shares degrade to 0 -> eps, reporting total
+    # drift, instead of DIVIDE_BY_ZERO under ANSI or an all-NULL ks that
+    # masks the drift entirely under non-ANSI
+    share = lambda c, t: F.when(F.col(t) > 0,  # noqa: E731
+                                F.col(c) / F.col(t)).otherwise(F.lit(0.0))
+    p = F.greatest(share("cnt_a", "ta"), F.lit(eps))
+    q = F.greatest(share("cnt_b", "tb"), F.lit(eps))
     from pyspark.sql import Window
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = lambda c, t: F.when(F.col(t) > 0,  # noqa: E731
+                              F.sum(F.col(c)).over(w) / F.col(t)) \
+        .otherwise(F.lit(0.0))
     scored = j.select(
         "bucket",
         ((p - q) * F.log(p / q)).alias("psi_term"),
-        (F.sum(F.col("cnt_a")).over(w) / F.col("ta")
-         - F.sum(F.col("cnt_b")).over(w) / F.col("tb")).alias("cdf_diff"),
+        (cdf("cnt_a", "ta") - cdf("cnt_b", "tb")).alias("cdf_diff"),
     )
     return scored.agg(
         F.round(F.sum("psi_term"), 6).alias("psi"),
@@ -159,10 +171,10 @@ def grouped_histogram(df: DataFrame, column: str, group_expr,
     histogram(). `group_expr` may be a column name or a Column (e.g. a
     window start). Null/NaN values dropped as in histogram()."""
     ge = F.col(group_expr) if isinstance(group_expr, str) else group_expr
-    cd = F.col(column).cast("double")
+    cd = F.col(column).try_cast("double")  # see histogram(): ANSI-safe
     b = F.width_bucket(cd, F.lit(float(lo)), F.lit(float(hi)),
                        F.lit(buckets))
-    return (df.filter(F.col(column).isNotNull() & ~F.isnan(cd))
+    return (df.filter(cd.isNotNull() & ~F.isnan(cd))
             .groupBy(ge.alias(group_name), b.alias("bucket"))
             .agg(F.count(F.lit(1)).alias(cnt_name)))
 

@@ -60,9 +60,15 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         changed = (nxt.join(labels.withColumnRenamed("group_id", "old"), "node")
                    .filter(F.col("group_id") < F.col("old"))
                    .limit(1).count())
+        # release the superseded generation: without this every round's
+        # checkpointed labels stay pinned in executor storage until the
+        # job ends — O(rounds) copies of an O(nodes) relation
+        labels.unpersist()
         labels = nxt
         if changed == 0:
+            edges.unpersist()
             return labels
+    edges.unpersist()
     raise RuntimeError(
         f"connected_components: no convergence after {max_iter} rounds "
         "(component diameter exceeds the round budget)")
