@@ -46,6 +46,27 @@ def load_input(spark: SparkSession, path: str):
     return spark.read.table(path)  # Iceberg table via configured catalog
 
 
+def with_synthesized_ordinal(df):
+    """Attach a deterministic `_ord` when the input carries none.
+
+    Preferred: xxhash64(_metadata.file_path, _metadata.row_index) —
+    unique per physical row (so byte-identical duplicate rows still get
+    DISTINCT ordinals and uniqueness attribution stays exact), stable
+    across re-planning/cluster size, and deterministic (filter pushdown
+    for ledger resume still works). Falls back to a content hash for
+    non-file sources, where identical duplicate rows tie on ordinal and
+    first/dup attribution degrades — persist a real ordinal column to
+    avoid that corner.
+    """
+    try:
+        out = df.withColumn("_ord", F.xxhash64(
+            F.col("_metadata.file_path"), F.col("_metadata.row_index")))
+        out.schema  # force analysis so a missing _metadata fails HERE
+        return out
+    except Exception:
+        return df.withColumn("_ord", F.xxhash64(F.struct(*df.columns)))
+
+
 def main(argv=None) -> int:
     from goskema_spark.corpus import corpus_schema
     from goskema_spark.ledger import read_ledger, run_with_ledger
@@ -55,17 +76,18 @@ def main(argv=None) -> int:
 
     df = load_input(spark, args.input)
     if "_ord" not in df.columns:
-        # content-derived deterministic ordinal for uniqueness first/dup
-        # attribution. NOT monotonically_increasing_id: that expression
-        # is nondeterministic, so (a) Catalyst refuses to push the
-        # ledger's resume partition-prune filter past the projection —
-        # a crash-resume rescanned the whole corpus — and (b) a resume
-        # under a different file layout re-numbers every row, flipping
-        # which duplicate is "first" versus the uninterrupted run.
-        # Caveat: byte-identical duplicate ROWS share an ordinal and
-        # their first/dup attribution degrades; persist a real ordinal
-        # column for that corner (the canonical corpus tables carry one).
-        df = df.withColumn("_ord", F.xxhash64(F.struct(*df.columns)))
+        # NOT monotonically_increasing_id: nondeterministic, so (a)
+        # Catalyst refuses to push the ledger's resume partition-prune
+        # filter past the projection — a crash-resume rescanned the
+        # whole corpus — and (b) a resume under a different file layout
+        # re-numbers every row, flipping which duplicate is "first"
+        # versus the uninterrupted run. NOT a bare content hash either:
+        # byte-identical duplicate ROWS — the most common real
+        # duplicate (re-ingested files) — would share an ordinal, and
+        # uniqueness_violations keeps only rows with ordinal != first,
+        # silently reporting ZERO violations for exactly the duplicates
+        # the check exists to catch (ADVICE r5, high).
+        df = with_synthesized_ordinal(df)
     if args.repartition:
         df = df.repartition(args.repartition, F.col("source"), F.xxhash64("doc_id"))
 

@@ -65,11 +65,22 @@ def corpus_schema(max_len: int = MAX_LEN, max_ntok: int = MAX_NTOK,
         params=lambda: {"expected": F.size("tokens"), "got": F.col("n_tok")},
         when=lambda: F.col("n_tok").isNotNull() & F.col("tokens").isNotNull(),
     )
-    # broadcast="auto": probe the dup-key count before hinting the
-    # broadcast join — the safe default at unknown duplicate rates (a
-    # boilerplate-heavy corpus can have 10^8+ dup keys, which would blow
-    # the driver if hinted unconditionally)
-    sch.unique("doc_id", ordinal="_ord", broadcast="auto")
+    # broadcast=True: hint-forced broadcast of the dup-key relation.
+    # doc_id is the corpus' document identity — by data contract it is
+    # near-unique, so the duplicate-KEY set is tiny (duplicates are the
+    # anomaly being detected, not boilerplate), and the forced hint
+    # keeps the whole check one job with zero corpus-side shuffle.
+    # r6: this replaces the r5 broadcast="auto" HLL probe, which cost a
+    # full column scan + sketch collect serialized BEFORE the main job
+    # on every validate() call (0.35s/run at 12.8M rows; 1.3s at 41M
+    # rows on local[8] — the largest fixed tail in the scaling gate).
+    # A corpus whose key may be pathologically duplicated (10^8+ dup
+    # keys would stress the driver) should declare broadcast="auto":
+    # no hint, AQE promotes to broadcast only when the runtime size
+    # fits (measured +1.4s on the 12.8M-row bench — the corpus-side
+    # exchange AQE plans for is not free, which is why the contract-
+    # backed forced hint is the default here, not the cautious mode).
+    sch.unique("doc_id", ordinal="_ord", broadcast=True)
     sch.foreign_key("source", "dim_source", "source")
     return sch
 

@@ -54,10 +54,11 @@ class ValidationResult:
     _persisted: list = dc_field(default_factory=list)  # probe relations to release
 
     def unpersist(self):
-        """Release any relations persisted for this run. Since the
-        broadcast='auto' probe moved to a stateless HLL bound (r5,
-        uniqueness.py) nothing is persisted by default — kept as the
-        stable lifecycle hook callers already wrap in try/finally."""
+        """Release any relations persisted for this run. Since r6 the
+        broadcast='auto' path runs no probe at all (AQE picks the join
+        from runtime stats, uniqueness.py) so nothing is persisted by
+        default — kept as the stable lifecycle hook callers already
+        wrap in try/finally."""
         for df in self._persisted:
             df.unpersist(blocking=False)
         self._persisted = []
@@ -168,14 +169,16 @@ def validate(
         # balancing across the input's finer partitioning. repartition
         # keeps the upstream stage wide and only shuffles the (small,
         # violation-rate-bounded) report rows into N write tasks.
-        # Skipped when the input is not wider than the target: a
-        # same-width exchange (e.g. a 32-partition corpus written at 32
-        # report partitions) reshapes nothing and pays a full extra
-        # stage for it — only a genuinely wider upstream amortizes the
-        # shuffle.
+        # r6: the repartition is unconditional again — the r5 skip gated
+        # on df.rdd.getNumPartitions(), which (a) measured the INPUT
+        # width while the report's width is the sum of its branch
+        # widths (shuffle.partitions for the aggregate branches + input
+        # width for the map branches), so skipping lost the output-file-
+        # count control exactly when the report was wider than the
+        # input, and (b) forced an extra physical-plan-to-RDD conversion
+        # on the driver for every validate() call (ADVICE r5 #2).
         w = report
-        if report_partitions and \
-                df.rdd.getNumPartitions() > report_partitions:
+        if report_partitions:
             w = report.repartition(report_partitions)
         w.write.mode("overwrite").parquet(report_path)
         report = df.sparkSession.read.parquet(report_path)

@@ -37,3 +37,37 @@ def test_cli_end_to_end(spark):
         assert viols.count() == summary["violations"]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_synthesized_ordinal_catches_identical_duplicate_rows(spark):
+    """ADVICE r5 (high): a content-hash ordinal gave byte-identical
+    duplicate rows the SAME ordinal, so uniqueness_violations (which
+    keeps rows with ordinal != first) reported zero violations for
+    exact re-ingested duplicates. The (file, row_index) ordinal must
+    give every physical row a distinct ordinal."""
+    from pyspark.sql import functions as F
+
+    from goskema_spark.__main__ import with_synthesized_ordinal
+    from goskema_spark.uniqueness import uniqueness_violations
+
+    tmp = tempfile.mkdtemp()
+    try:
+        rows = [("d1", [1, 2], 2, "web"), ("d1", [1, 2], 2, "web"),
+                ("d2", [3], 1, "web")]
+        base = spark.createDataFrame(
+            rows, "doc_id string, tokens array<int>, n_tok int, source string")
+        base.write.mode("overwrite").parquet(f"{tmp}/in")
+        df = with_synthesized_ordinal(spark.read.parquet(f"{tmp}/in"))
+        # every physical row gets a DISTINCT ordinal, duplicates included
+        assert df.select("_ord").distinct().count() == 3
+        v = uniqueness_violations(df, "doc_id", "_ord", F.col("doc_id"))
+        assert v.count() == 1  # the non-first identical duplicate
+        # deterministic across re-reads (stable attribution for resume)
+        df2 = with_synthesized_ordinal(spark.read.parquet(f"{tmp}/in"))
+        assert (df.select("doc_id", "_ord").exceptAll(
+            df2.select("doc_id", "_ord")).count() == 0)
+        # non-file source falls back to the content hash (documented)
+        mem = with_synthesized_ordinal(base)
+        assert "_ord" in mem.columns
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
