@@ -5,22 +5,73 @@ external reference set; a job-level failure to load the dimension maps to
 `dependency_unavailable` (reference errors.go:35).
 
 Scale design: dimensions (source registries, license tables, vocab sets)
-are small; the check is a LEFT ANTI broadcast join — no shuffle of the
-fact side at all. The corpus keeps its partitioning; each task streams
-its partition against the broadcast hash set.
+are small; the check never shuffles the fact side. Two physical shapes,
+picked by the dimension's actual size:
+
+- SMALL dims (<= max_inline_values distinct values): collect the domain
+  once (one tiny job, O(dim) rows) and compile the check into a plain
+  `NOT isin` filter. Spark turns the literal list into an InSet hash
+  probe inside whole-stage codegen — no join operator, no broadcast
+  build, no per-run re-evaluation of the dimension plan. r6 measured
+  the difference at 12.8M rows: 1.59s for the broadcast anti-join
+  (whose per-run cost includes re-evaluating a Python-RDD-backed dim,
+  the distinct exchange and the broadcast build) vs 0.15s for the
+  compiled filter.
+- LARGER dims: LEFT ANTI broadcast join — no shuffle of the fact side;
+  each task streams its partition against the broadcast hash set.
 """
 
 from __future__ import annotations
+
+import weakref
 
 from pyspark.sql import Column, DataFrame, functions as F
 
 from goskema_spark.issues import Codes, pointer
 from goskema_spark.rowpass import violation
 
+# dims up to this many distinct values are compiled into an InSet
+# filter; the literal list lives in the plan, so keep it well under
+# plan-size pain (4096 short strings ~ tens of KB)
+MAX_INLINE_VALUES = 4096
+
+# domain memo per dim DataFrame OBJECT (weak keys: dropping the dim
+# drops the memo). Same category as rowpass' compiled-check memo: a
+# driver-side compile artifact — callers that validate many batches
+# against one dim registry pay the tiny domain-collect job once, not
+# per validate() call (measured 0.35-0.44s/call on a Python-backed
+# 20-row dim: the collect itself is trivial, the latency is the
+# Python-RDD evaluation plus distinct-exchange stage scheduling).
+_domain_memo: "weakref.WeakKeyDictionary[DataFrame, dict]" = \
+    weakref.WeakKeyDictionary()
+
+
+def _inline_domain(dim: DataFrame, dim_column: str, max_inline_values: int):
+    """The dim's distinct non-null values when small enough, else None.
+    NULL domain values are dropped: a NULL never equality-matches in
+    the anti-join either, so it whitelists nothing — and a NULL inside
+    a NOT IN list would turn every verdict NULL (three-valued logic),
+    silently suppressing all violations."""
+    if not max_inline_values:
+        return None
+    key = (dim_column, max_inline_values)
+    per_dim = _domain_memo.setdefault(dim, {})
+    if key in per_dim:
+        return per_dim[key]
+    head = (dim.select(F.col(dim_column)).distinct()
+            .limit(max_inline_values + 1).collect())
+    if len(head) > max_inline_values:
+        domain = None
+    else:
+        domain = [r[0] for r in head if r[0] is not None]
+    per_dim[key] = domain
+    return domain
+
 
 def referential_violations(df: DataFrame, column: str, dim: DataFrame,
                            dim_column: str, row_id: Column,
-                           code: str = Codes.INVALID_ENUM, carry=()) -> DataFrame:
+                           code: str = Codes.INVALID_ENUM, carry=(),
+                           max_inline_values: int = MAX_INLINE_VALUES) -> DataFrame:
     """Rows whose `column` value is absent from dim[dim_column] ->
     violation rows at /<column> with params {"got": value}.
 
@@ -28,11 +79,16 @@ def referential_violations(df: DataFrame, column: str, dim: DataFrame,
     handled by the row pass), mirroring the reference where context rules
     run only on present values (presence gating, domain_types.go:25-34).
     """
-    dimset = dim.select(F.col(dim_column).alias(column)).distinct()
-    misses = (
-        df.filter(F.col(column).isNotNull())
-        .join(F.broadcast(dimset), column, "left_anti")
-    )
+    domain = _inline_domain(dim, dim_column, max_inline_values)
+    if domain is not None:
+        misses = df.filter(F.col(column).isNotNull()
+                           & ~F.col(column).isin(domain))
+    else:
+        dimset = dim.select(F.col(dim_column).alias(column)).distinct()
+        misses = (
+            df.filter(F.col(column).isNotNull())
+            .join(F.broadcast(dimset), column, "left_anti")
+        )
     viol = violation(pointer(column), code, rule=f"ref_{column}",
                      params={"got": F.col(column)})
     return misses.select(row_id.alias("row_id"), viol.alias("v"),
@@ -40,7 +96,12 @@ def referential_violations(df: DataFrame, column: str, dim: DataFrame,
         .select("row_id", "v.path", "v.code", "v.message", "v.rule", "v.params", *carry)
 
 
-def referential_ok(df: DataFrame, column: str, dim: DataFrame, dim_column: str) -> DataFrame:
-    """Complement: rows passing the referential check (left semi)."""
+def referential_ok(df: DataFrame, column: str, dim: DataFrame, dim_column: str,
+                   max_inline_values: int = MAX_INLINE_VALUES) -> DataFrame:
+    """Complement: rows passing the referential check (left semi /
+    inlined isin — same dispatch as referential_violations)."""
+    domain = _inline_domain(dim, dim_column, max_inline_values)
+    if domain is not None:
+        return df.filter(F.col(column).isin(domain))
     dimset = dim.select(F.col(dim_column).alias(column)).distinct()
     return df.join(F.broadcast(dimset), column, "left_semi")

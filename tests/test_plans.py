@@ -46,13 +46,56 @@ def test_filter_pushdown(spark):
             or "EqualTo(source,src1)" in plan, plan
 
 
-def test_referential_is_broadcast(spark):
+def test_referential_small_dim_compiles_to_filter(spark):
+    """A small dim is collected once and compiled into an isin filter —
+    no join operator at all, the fact side is a pure codegen'd scan
+    (r6: the per-run broadcast anti-join measured 1.59s vs 0.15s for
+    the compiled filter at 12.8M rows)."""
     with tempfile.TemporaryDirectory() as tmp:
         df = _corpus_parquet(spark, tmp)
         v = referential_violations(df, "source", dim_source_df(spark), "source", row_id_col())
         plan = _plan(v)
+        assert "Join" not in plan, plan
+        assert "Exchange" not in plan, "fact side must not shuffle"
+
+
+def test_referential_large_dim_is_broadcast(spark):
+    """Above the inline threshold the check falls back to a broadcast
+    anti-join — still never a shuffle of the fact side."""
+    from pyspark.sql import functions as F
+    with tempfile.TemporaryDirectory() as tmp:
+        df = _corpus_parquet(spark, tmp)
+        big_dim = spark.range(10000).select(
+            F.concat(F.lit("src"), F.col("id").cast("string")).alias("source"))
+        v = referential_violations(df, "source", big_dim, "source", row_id_col())
+        plan = _plan(v)
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
         assert "SortMergeJoin" not in plan, "referential check must not sort-merge"
+
+
+def test_referential_inline_matches_join(spark):
+    """Both physical shapes must produce identical violations,
+    null-domain values and empty dims included."""
+    from pyspark.sql import functions as F, types as T
+    with tempfile.TemporaryDirectory() as tmp:
+        df = _corpus_parquet(spark, tmp)
+        dim_rows = [("src1",), ("src2",), (None,)]
+        dim = spark.createDataFrame(
+            dim_rows, T.StructType([T.StructField("source", T.StringType(), True)]))
+        a = referential_violations(df, "source", dim, "source", row_id_col())
+        b = referential_violations(df, "source", dim, "source", row_id_col(),
+                                   max_inline_values=0)  # force the join path
+        assert a.count() == b.count() > 0
+        norm = lambda d: d.withColumn("params", F.map_entries("params"))
+        assert norm(a).exceptAll(norm(b)).count() == 0
+        # empty dim: every non-null value is a miss, on both paths
+        empty = spark.createDataFrame(
+            [], T.StructType([T.StructField("source", T.StringType(), True)]))
+        n_nonnull = df.filter(F.col("source").isNotNull()).count()
+        ea = referential_violations(df, "source", empty, "source", row_id_col())
+        eb = referential_violations(df, "source", empty, "source", row_id_col(),
+                                    max_inline_values=0)
+        assert ea.count() == eb.count() == n_nonnull
 
 
 def test_rowpass_no_python_and_codegen(spark):
