@@ -23,6 +23,7 @@ a count of changed labels.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
@@ -34,20 +35,40 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     orientation). Raises after `max_iter` rounds without convergence —
     a duplicate graph needing >20 rounds of min propagation has a
     ~million-hop chain and deserves a look, not silence."""
-    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-             .unionByName(
-                 pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    # both orientations via ONE explode — the r5 union of two selects
+    # referenced `pairs` twice, physically duplicating the upstream
+    # pair-generation subtree (for LSH candidate pairs that is the
+    # whole signature pipeline) in the plan that the checkpoint runs
+    edges = (pairs.select(F.explode(F.array(
+                 F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                 F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+             )).alias("_e"))
+             .select("_e.src", "_e.dst")
              .distinct())
     edges = edges.localCheckpoint(eager=True)
 
     # seed: every node labelled min(self, direct neighbors) — folds the
-    # first propagation round into the seed aggregate
+    # first propagation round into the seed aggregate.
+    #
+    # Generation lifecycle (r6, ADVICE r5 #3): superseded label
+    # generations are pinned via explicit persist() and materialized
+    # with count(), because Dataset.unpersist() on a localCheckpoint'd
+    # frame is a NO-OP — the checkpoint persists the internal RDD
+    # directly, which the SQL CacheManager knows nothing about, so the
+    # r5 code released nothing and O(rounds) label copies stayed pinned
+    # until job end. persist() goes through the CacheManager, so the
+    # per-round unpersist() genuinely frees the superseded generation.
+    # Every 8th round the generation is additionally localCheckpoint'd
+    # (instead of persisted) to truncate the otherwise per-round-deepening
+    # lineage; those rare pinned copies are reclaimed by the
+    # ContextCleaner once unreferenced.
     labels = (edges
               .groupBy(F.col("src").alias("node"))
               .agg(F.least(F.min("dst"), F.first("src")).alias("group_id"))
-              .localCheckpoint(eager=True))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    labels.count()
 
-    for _ in range(max_iter):
+    for i in range(max_iter):
         # candidate label for each node: min label among its neighbors
         neighbor_min = (edges
                         .join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -55,14 +76,20 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                         .agg(F.min("group_id").alias("n_min")))
         nxt = (labels.join(neighbor_min, "node", "left")
                .select("node",
-                       F.least("group_id", "n_min").alias("group_id"))
-               .localCheckpoint(eager=True))
+                       F.least("group_id", "n_min").alias("group_id")))
+        if (i + 1) % 8 == 0:
+            nxt = nxt.localCheckpoint(eager=True)  # lineage truncation
+        else:
+            nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+        # full count (not limit(1)): consuming every nxt partition here
+        # is what materializes the persist — an early-exit probe would
+        # leave partitions uncached and the next round's recompute
+        # would chase lineage through the just-released generation
         changed = (nxt.join(labels.withColumnRenamed("group_id", "old"), "node")
                    .filter(F.col("group_id") < F.col("old"))
-                   .limit(1).count())
-        # release the superseded generation: without this every round's
-        # checkpointed labels stay pinned in executor storage until the
-        # job ends — O(rounds) copies of an O(nodes) relation
+                   .count())
+        # release the superseded generation (real release: persist()
+        # registered it with the CacheManager, unlike a localCheckpoint)
         labels.unpersist()
         labels = nxt
         if changed == 0:

@@ -57,36 +57,51 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_perm: int = NUM_PERM,
                        shingle_n: int = 3) -> DataFrame:
     """(id, sig_0..sig_{K-1}): minhash per permutation.
-    One projection — the min over shingles is a vectorized array
-    aggregate, no explode/shuffle needed."""
+    The min over shingles is a vectorized array aggregate, no
+    explode/shuffle needed.
+
+    r6: the shingle ARRAY is materialized once behind its own
+    projection boundary (`_sh`, referenced num_perm times — non-cheap,
+    so CollapseProject keeps the boundary, same mechanism as the
+    rowpass gate). The r5 single-projection form inlined the whole
+    split/transform/concat_ws/array_distinct shingle construction into
+    the filter plus EVERY signature column — interpreted expression
+    trees (lambdas) get no common-subexpression elimination, so each
+    row built its shingle array nine times. Measured 12.4s -> 5.2s on
+    the 50k-doc sf0.1 documents table; identical output values."""
     sh = shingles(F.col(text_col), shingle_n)
+    tmp = (df.select(F.col(id_col), sh.alias("_sh"))
+           .filter(F.size("_sh") > 0))
 
     def perm_hash(j):
         return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
 
     cols = [F.col(id_col)]
     for j in range(num_perm):
-        mh = F.array_min(F.transform(sh, perm_hash(j)))
+        mh = F.array_min(F.transform(F.col("_sh"), perm_hash(j)))
         cols.append(mh.alias(f"sig_{j}"))
-    return df.filter(F.size(sh) > 0).select(*cols)
+    return tmp.select(*cols)
 
 
 def minhash_band_buckets(sigs: DataFrame, id_col: str = "doc_id",
                          num_perm: int = NUM_PERM,
                          band_rows: int = BAND_ROWS) -> DataFrame:
-    """(band, bucket, id): LSH band buckets."""
-    out = []
+    """(band, bucket, id): LSH band buckets.
+
+    r6: ONE explode instead of a union of per-band selects — the union
+    referenced `sigs` once per band, physically duplicating the whole
+    signature projection (scan + shingles + num_perm md5 passes) four
+    times in the plan. The explode evaluates it once and fans each row
+    into its #bands (band, bucket) rows. Same output rows."""
+    entries = []
     for b in range(num_perm // band_rows):
         parts = [F.col(f"sig_{b * band_rows + r}") for r in range(band_rows)]
-        out.append(sigs.select(
+        entries.append(F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *parts)).alias("bucket"),
-            F.col(id_col),
-        ))
-    res = out[0]
-    for o in out[1:]:
-        res = res.unionByName(o)
-    return res
+            F.md5(F.concat_ws("|", *parts)).alias("bucket")))
+    return (sigs.select(F.col(id_col),
+                        F.explode(F.array(*entries)).alias("_bb"))
+            .select("_bb.band", "_bb.bucket", F.col(id_col)))
 
 
 def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
@@ -95,15 +110,29 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
                             max_bucket: int = 1000) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any LSH band bucket.
     Buckets larger than max_bucket are dropped (degenerate shingles) —
-    the standard guard against quadratic fan-out on boilerplate."""
+    the standard guard against quadratic fan-out on boilerplate.
+
+    Physical shape (r6): the bucket relation is hash-repartitioned ONCE
+    on the join key (band, bucket); the bucket-size aggregate, the
+    size-filter join and both sides of the pair self-join all consume
+    that same exchange (guide §2.4: operations keyed the same way share
+    one exchange — exchange/stage reuse makes the signature pipeline
+    execute once, where the r5 shape re-evaluated it for every
+    reference: sizes, the size join, and each self-join side). The
+    bucket-size relation is NOT broadcast — it is O(#occupied buckets),
+    unbounded at corpus scale, and the co-partitioned join needs no
+    extra shuffle anyway. AQE coalesces the repartition (column-only
+    REPARTITION_BY_COL), so the width stays scale-adaptive."""
     sigs = minhash_signatures(df, text_col, id_col, num_perm)
-    buckets = minhash_band_buckets(sigs, id_col, num_perm, band_rows)
+    buckets = (minhash_band_buckets(sigs, id_col, num_perm, band_rows)
+               .repartition("band", "bucket"))
     sizes = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
-    buckets = (buckets.join(sizes, ["band", "bucket"])
-               .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
-               .drop("_n"))
-    a = buckets.select("band", "bucket", F.col(id_col).alias("id_a"))
-    b = buckets.select("band", "bucket", F.col(id_col).alias("id_b"))
+    good = (buckets.join(sizes.filter((F.col("_n") > 1)
+                                      & (F.col("_n") <= max_bucket)),
+                         ["band", "bucket"])
+            .drop("_n"))
+    a = good.select("band", "bucket", F.col(id_col).alias("id_a"))
+    b = good.select("band", "bucket", F.col(id_col).alias("id_b"))
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -132,14 +161,28 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             "shingle (quadratic on boilerplate shingles at corpus scale); "
             "pass candidates=minhash_candidate_pairs(df) or opt in with "
             "allow_all_pairs=True")
-    sh = df.select(F.col(id_col).alias("_id"),
-                   F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"))
+    base = df.select(F.col(id_col).alias("_id"),
+                     shingles(F.col(text_col), shingle_n).alias("_sh"))
     if candidates is not None:
-        cand_ids = (candidates.select(F.col("id_a").alias("_id"))
-                    .unionByName(candidates.select(F.col("id_b").alias("_id")))
+        # prune the CORPUS to candidate docs BEFORE building/exploding
+        # shingles (r5 exploded the whole corpus and semi-joined after
+        # the Generate — the filter cannot push below an explode).
+        # cand_ids comes from ONE reference to `candidates` via
+        # explode(array(id_a, id_b)) — the r5 union of two selects
+        # physically duplicated the entire LSH candidate subtree.
+        cand_ids = (candidates
+                    .select(F.explode(F.array("id_a", "id_b")).alias("_id"))
                     .distinct())
-        sh = sh.join(cand_ids, "_id", "left_semi")
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        base = base.join(cand_ids, "_id", "left_semi")
+    # doc shingle-set sizes straight off the array — no explode/aggregate
+    # round trip (shingles() is array_distinct'd, so size(array) equals
+    # the exploded per-doc count exactly)
+    sizes = base.select("_id", F.size("_sh").alias("n_sh"))
+    # ONE keyed exchange on the shingle feeds both sides of the pair
+    # self-join (guide §2.4); without it each side re-scanned and
+    # re-exploded the (pruned) corpus
+    sh = (base.select("_id", F.explode("_sh").alias("sh"))
+          .repartition("sh"))
     a = sh.select(F.col("_id").alias("id_a"), "sh")
     b = sh.select(F.col("_id").alias("id_b"), "sh")
     inter = (
@@ -227,14 +270,18 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     if bits // band_bits <= max_hamming:
         band_bits = max(1, bits // (max_hamming + 1))
     sigs = simhash_signatures(df, text_col, id_col, bits)
-    bands = None
-    for b in range(bits // band_bits):
-        part = sigs.select(
-            F.lit(b).alias("band"),
-            F.substring("simhash", b * band_bits + 1, band_bits).alias("bucket"),
-            F.col(id_col), F.col("simhash"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # one explode instead of a union of per-band selects, and one keyed
+    # exchange shared by both self-join sides (r6, same rationale as
+    # minhash_band_buckets / minhash_candidate_pairs: the r5 shape
+    # re-evaluated the signature aggregate once per band per join side)
+    entries = [F.struct(
+        F.lit(b).alias("band"),
+        F.substring("simhash", b * band_bits + 1, band_bits).alias("bucket"))
+        for b in range(bits // band_bits)]
+    bands = (sigs.select(F.col(id_col), F.col("simhash"),
+                         F.explode(F.array(*entries)).alias("_bb"))
+             .select("_bb.band", "_bb.bucket", F.col(id_col), F.col("simhash"))
+             .repartition("band", "bucket"))
     a = bands.select("band", "bucket", F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"))
     b = bands.select("band", "bucket", F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"))
     pairs = (a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))

@@ -100,9 +100,12 @@ def windowed_counts(stream_df: DataFrame, ts_col: str = "ts",
 
 
 def _duration_ms(s: str) -> int:
-    """Parse a Spark-style duration string — the same surface
-    withWatermark accepts: abbreviations ('90 min', '10 sec'), weeks,
-    and compound forms ('1 hour 30 minutes')."""
+    """Parse a Spark-style duration string — a SUPERSET of what
+    withWatermark accepts (abbreviations like '90 min', weeks, compound
+    forms like '1 hour 30 minutes'; additionally single-letter units,
+    fractional counts and 'us', which Spark's own interval parser
+    rejects — validate against Spark separately before forwarding a
+    string there)."""
     units = {"microsecond": 0.001, "us": 0.001,
              "millisecond": 1, "ms": 1,
              "second": 1000, "sec": 1000, "s": 1000,

@@ -377,3 +377,22 @@ def test_embedding_profile_integrity_counters(spark):
         [(0, [3.2e38, 1.0], 0)], df.schema)
     rb = embedding_profile(big, expected_dim=2).collect()[0]
     assert rb["n_bad"] == 0 and rb["n_zero"] == 0
+
+
+def test_frequent_ngrams_sketch_no_driver_materialization(spark):
+    """r6: the candidate set must stay distributed — the plan carries
+    the two MG passes (partition summaries + bounded merge) and a
+    broadcast join of the merged candidates, with no driver-side
+    re-created local relation (the r5 shape collected the candidate
+    union to Python and re-parallelized it as an ExistingRDD scan)."""
+    from goskema_spark.ops.textops import frequent_ngrams_sketch
+    rows = [("a b a b a b",), ("c d c d",)] * 10
+    df = spark.createDataFrame(rows, "text string").repartition(2)
+    out = frequent_ngrams_sketch(df, n=2, k=3, capacity=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 2, plan
+    assert "BroadcastExchange" in plan
+    # the ONLY ExistingRDD scans allowed are the two reads of the
+    # createDataFrame INPUT (summary side + exact-count side); the
+    # candidates must not appear as a third locally-parallelized scan
+    assert plan.count("Scan ExistingRDD") == 2, plan
