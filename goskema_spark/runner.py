@@ -180,7 +180,10 @@ def validate(
         w = report
         if report_partitions:
             w = report.repartition(report_partitions)
-        w.write.mode("overwrite").parquet(report_path)
+        # zstd (guide §6): ~25% smaller report files than snappy at the
+        # same write time — the violations/verdicts reads scan less
+        w.write.mode("overwrite").option("compression", "zstd") \
+            .parquet(report_path)
         report = df.sparkSession.read.parquet(report_path)
         violations = (report.filter(F.col("_rec") == "v")
                       .select(*VIOLATION_COLS, *carry))

@@ -18,11 +18,16 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def profile(df: DataFrame, columns=None, exact_distinct: bool = False,
-            rsd: float = 0.02, by: str = None) -> DataFrame:
+            rsd: float = 0.05, by: str = None) -> DataFrame:
     """One row per column: col, cnt, nulls, n_distinct, min_v, max_v (strings).
 
     exact_distinct=True uses count(distinct) — for golden tests / oracle
-    parity; default is the HLL sketch for scale.
+    parity; default is the HLL sketch for scale. rsd defaults to 0.05,
+    Spark's own approx_count_distinct default: HLL register count (and
+    per-row update cost) scales 1/rsd^2, and the r5 default of 0.02 made
+    the sketch 65% of the whole profile aggregate (r6 measured at 12.8M
+    rows: the doc_id sketch alone 1.13s at rsd=0.02 vs 0.24s at 0.05 —
+    a +-5%% distinct estimate is the standard profiling contract).
 
     by='source' groups the profile: one row per (group, column). Still a
     SINGLE hash aggregate — every statistic is algebraic or a mergeable
