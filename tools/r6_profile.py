@@ -83,13 +83,12 @@ def main():
         report._jdf.queryExecution().optimizedPlan()
         t["optimize"] = time.time() - t0; t0 = time.time()
 
-        # mirror runner's repartition gate
-        w = report
-        if cpus and df.rdd.getNumPartitions() > cpus:
-            w = report.repartition(cpus)
+        # mirror runner's unconditional repartition (r6)
+        w = report.repartition(cpus) if cpus else report
         t["repart_gate"] = time.time() - t0; t0 = time.time()
 
-        w.write.mode("overwrite").parquet("/tmp/gsk_prof_report.parquet")
+        w.write.mode("overwrite").option("compression", "zstd") \
+            .parquet("/tmp/gsk_prof_report.parquet")
         t["write"] = time.time() - t0; t0 = time.time()
 
         rpt = spark.read.parquet("/tmp/gsk_prof_report.parquet")
