@@ -291,6 +291,11 @@ class TableSchema:
         return self
 
     def unique(self, column, ordinal=None, broadcast=True):
+        """broadcast: True (default) hint-forces the dup-key broadcast
+        join — right when the key is near-unique by contract (the dup
+        set is the anomaly being detected). False/"auto": no hint, AQE
+        promotes from runtime size — the safe choice when the duplicate
+        rate may be pathological (see uniqueness.py)."""
         self.unique_keys.append(
             UniqueKey(column=column, ordinal=ordinal, broadcast=broadcast))
         self._version += 1
