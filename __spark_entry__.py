@@ -371,16 +371,13 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind its own projection boundary — inlining ngram_array into both
     output columns re-built the (interpreted, HOF) gram construction
     several times per row; same values, measured 3.6s -> 2.7s at sf0.1."""
-    from goskema_spark.ops.textops import ngram_array
+    from goskema_spark.ops.textops import ngram_array, repetition_from_grams
     t = F.col("text")
     return (_docs(spark, sf_dir)
             .select(F.col("doc_id"), ngram_array(t, 3).alias("_g"))
             .select(
                 F.col("doc_id").cast("bigint").alias("doc_id"),
-                F.round(F.when(
-                    F.size("_g") > 0,
-                    F.lit(1.0) - F.size(F.array_distinct("_g")).cast("double")
-                    / F.size("_g")).otherwise(F.lit(0.0)), 6).alias("rep3"),
+                F.round(repetition_from_grams(F.col("_g")), 6).alias("rep3"),
                 F.size("_g").cast("bigint").alias("n_gram3")))
 
 

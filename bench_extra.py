@@ -40,9 +40,10 @@ def main():
 
     out = {}
     for name in names:
-        fn = qs[name]
+        name = name.strip()
         spark.sparkContext.setJobDescription(f"bench_extra: {name}")
         try:
+            fn = qs[name]
             def run():
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             t0 = time.time()

@@ -37,6 +37,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--repartition", type=int, default=0,
                    help="explicit repartition(N, source, xxhash64(doc_id)) before the pass")
     p.add_argument("--fail-fast", action="store_true")
+    p.add_argument("--unique-broadcast", choices=["auto", "force"],
+                   default="auto",
+                   help="dup-key join strategy for the uniqueness check: "
+                        "'auto' (default) lets AQE promote to broadcast "
+                        "from runtime stats — safe when the input may be "
+                        "pathologically duplicated (e.g. a full corpus "
+                        "re-ingest makes the dup-key set the WHOLE key "
+                        "set, which a forced broadcast would push through "
+                        "the driver); 'force' hints the broadcast for "
+                        "near-unique-by-contract keys (faster: no "
+                        "corpus-side exchange)")
     return p
 
 
@@ -93,6 +104,13 @@ def main(argv=None) -> int:
 
     schema = corpus_schema(args.max_len, args.max_ntok, args.vocab)
     schema.fail_fast = args.fail_fast
+    # the CLI faces arbitrary user inputs, where "the dup set is tiny"
+    # is NOT a safe contract (a doubled re-ingested corpus — exactly
+    # what the synthesized ordinal exists to catch — makes every key a
+    # duplicate); default to the AQE-decided join, opt into the forced
+    # broadcast only when the caller vouches for the key
+    for uk in schema.unique_keys:
+        uk.broadcast = True if args.unique_broadcast == "force" else "auto"
     dims = {}
     if args.dim_source:
         dims["dim_source"] = spark.read.parquet(args.dim_source)

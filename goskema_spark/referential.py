@@ -8,8 +8,8 @@ Scale design: dimensions (source registries, license tables, vocab sets)
 are small; the check never shuffles the fact side. Two physical shapes,
 picked by the dimension's actual size:
 
-- SMALL dims (<= max_inline_values distinct values): collect the domain
-  once (one tiny job, O(dim) rows) and compile the check into a plain
+- SMALL dims (<= max_inline_values rows): collect the domain once (one
+  tiny early-terminating job) and compile the check into a plain
   `NOT isin` filter. Spark turns the literal list into an InSet hash
   probe inside whole-stage codegen — no join operator, no broadcast
   build, no per-run re-evaluation of the dimension plan. r6 measured
@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from goskema_spark.issues import Codes, pointer
 from goskema_spark.rowpass import violation
 
-# dims up to this many distinct values are compiled into an InSet
+# dims up to this many rows are compiled into an InSet
 # filter; the literal list lives in the plan, so keep it well under
 # plan-size pain (4096 short strings ~ tens of KB)
 MAX_INLINE_VALUES = 4096
@@ -47,23 +47,32 @@ _domain_memo: "weakref.WeakKeyDictionary[DataFrame, dict]" = \
 
 
 def _inline_domain(dim: DataFrame, dim_column: str, max_inline_values: int):
-    """The dim's distinct non-null values when small enough, else None.
-    NULL domain values are dropped: a NULL never equality-matches in
-    the anti-join either, so it whitelists nothing — and a NULL inside
-    a NOT IN list would turn every verdict NULL (three-valued logic),
-    silently suppressing all violations."""
+    """The dim's distinct non-null values when the dim is small enough,
+    else None. The probe is a RAW `limit(n+1).collect()` — a limit on a
+    bare scan early-terminates, so a 10^8-row dim pays a few partitions
+    of reading to learn it is too big, whereas probing through
+    `distinct()` would execute the dim's full scan + shuffle as a
+    blocking job before the main query (the same serialized-pre-probe
+    antipattern r6 removed from the uniqueness check). Trade-off,
+    deliberate: a huge dim with few distinct values falls back to the
+    anti-join even though its domain would have fit — dims are keyed
+    tables in practice, and the join path is correct either way.
+    Dedup happens in Python; NULL domain values are dropped: a NULL
+    never equality-matches in the anti-join either, so it whitelists
+    nothing — and a NULL inside a NOT IN list would turn every verdict
+    NULL (three-valued logic), silently suppressing all violations."""
     if not max_inline_values:
         return None
     key = (dim_column, max_inline_values)
     per_dim = _domain_memo.setdefault(dim, {})
     if key in per_dim:
         return per_dim[key]
-    head = (dim.select(F.col(dim_column)).distinct()
+    head = (dim.select(F.col(dim_column))
             .limit(max_inline_values + 1).collect())
     if len(head) > max_inline_values:
         domain = None
     else:
-        domain = [r[0] for r in head if r[0] is not None]
+        domain = sorted({r[0] for r in head if r[0] is not None})
     per_dim[key] = domain
     return domain
 

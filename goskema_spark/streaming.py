@@ -48,9 +48,11 @@ def validate_stream(
 
     def process(batch_df: DataFrame, batch_id: int):
         res = validate(batch_df, schema, row_id, dims=dims)
-        # try/finally: a schema with a broadcast="auto" unique key persists
-        # a dup-key probe relation per batch — without the release a
-        # long-running stream grows executor caches without bound
+        # try/finally: since r6 validate() persists nothing by default
+        # (the broadcast="auto" probe is gone — AQE decides the dup-key
+        # join from runtime stats), but unpersist() stays the lifecycle
+        # contract so any future persisted relation is released per
+        # batch instead of growing executor caches for a stream's life
         try:
             viols = res.violations.withColumn("batch_id", F.lit(batch_id)) \
                 .withColumn("params", F.to_json("params"))

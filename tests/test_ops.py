@@ -390,7 +390,8 @@ def test_frequent_ngrams_sketch_no_driver_materialization(spark):
     df = spark.createDataFrame(rows, "text string").repartition(2)
     out = frequent_ngrams_sketch(df, n=2, k=3, capacity=64)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("MapInPandas") == 2, plan
+    # partition summaries + fan-in merge + final merge
+    assert plan.count("MapInPandas") == 3, plan
     assert "BroadcastExchange" in plan
     # the ONLY ExistingRDD scans allowed are the two reads of the
     # createDataFrame INPUT (summary side + exact-count side); the
