@@ -36,7 +36,7 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame, functions as F
 
 from goskema_spark.referential import referential_violations
-from goskema_spark.rowpass import validate_rows
+from goskema_spark.rowpass import dirty_annotated, validate_rows
 from goskema_spark.schema import TableSchema
 from goskema_spark.uniqueness import uniqueness_violations
 
@@ -122,8 +122,13 @@ def validate(
                                    row_id, code=fk.code, carry=carry)
         )
 
-    # row-pass violations with the partition column attached
-    rp = explode_with_carry(ann, row_id, carry)
+    # row-pass violations with the partition column attached — fed from
+    # the filter-first dirty path (codegen'd gate Filter below the
+    # interpreted HOF body projection), NOT from `ann`: explode drops
+    # empty arrays anyway, and `ann`'s guarded shape pays interpreted
+    # per-row dispatch for every clean row of the corpus (rowpass.py
+    # _dirty_with_violations has the equivalence argument)
+    rp = explode_with_carry(dirty_annotated(df, schema), row_id, carry)
     all_viols = rp
     for v in agg_viols:
         all_viols = all_viols.unionByName(v)

@@ -111,6 +111,63 @@ def test_rowpass_no_python_and_codegen(spark):
         assert "*(" in plan, "row pass should have codegen'd stages"
 
 
+def test_violations_filter_first_matches_guarded(spark):
+    """r6: the violations feed filters on the codegen'd gate BELOW the
+    interpreted HOF body projection (explode drops empty arrays, so the
+    two shapes are equivalent). Checks (a) the plan really has the gate
+    as a Filter under the Generate, and (b) row-for-row equivalence with
+    exploding the guarded with_violations output — including a WIDE
+    (non-exact) gate, where gate-fired rows can still build an empty
+    array that explode must drop."""
+    from pyspark.sql import types as T
+
+    from goskema_spark import schema as S
+    from goskema_spark.rowpass import (_dirty_with_violations, apply_defaults,
+                                       explode_violations, with_violations)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df = _corpus_parquet(spark, tmp)
+        sch = corpus_schema()
+        dfd = apply_defaults(df, sch)
+        new = explode_violations(_dirty_with_violations(dfd, sch), row_id_col())
+        old = explode_violations(with_violations(dfd, sch), row_id_col())
+        plan = _plan(new)
+        gen = plan.find("Generate")
+        filt = plan.find("Filter", gen)
+        assert gen != -1 and filt != -1, "expected Filter below the Generate"
+        norm = lambda d: d.withColumn("params", F.map_entries("params"))
+        assert new.count() == old.count() > 0
+        assert norm(new).exceptAll(norm(old)).count() == 0
+        assert norm(old).exceptAll(norm(new)).count() == 0
+
+    # wide gate: an Or-combinator whose branches can fire while the
+    # chosen (minimal) branch stays empty
+    rows = [("r1", 1, None), ("r2", None, 2), ("r3", None, None),
+            ("r4", 5, 6)]
+    df2 = spark.createDataFrame(
+        rows, T.StructType([T.StructField("id", T.StringType()),
+                            T.StructField("a", T.IntegerType()),
+                            T.StructField("b", T.IntegerType())]))
+    sch2 = S.table(S.field("id", "string", required=True),
+                   S.field("a", "int32"), S.field("b", "int32"),
+                   unknown="strip")
+    # branch A fires on rows where `a` is null, branch B on `b` null —
+    # r1/r2 trip the wide OR gate yet their minimal branch is empty
+    sch2.or_refine("a_or_b", [
+        [S.Refinement(name="a_set", path="/a", code="required",
+                      violates=lambda: F.col("a").isNull())],
+        [S.Refinement(name="b_set", path="/b", code="required",
+                      violates=lambda: F.col("b").isNull())],
+    ])
+    dfd2 = apply_defaults(df2, sch2)
+    new2 = explode_violations(_dirty_with_violations(dfd2, sch2), F.col("id"))
+    old2 = explode_violations(with_violations(dfd2, sch2), F.col("id"))
+    got_new = sorted((r["row_id"], r["path"], r["code"]) for r in new2.collect())
+    got_old = sorted((r["row_id"], r["path"], r["code"]) for r in old2.collect())
+    assert got_new == got_old
+    assert any(r[0] == "r3" for r in got_new)  # the violating row
+
+
 def test_gate_projection_boundary(spark):
     """The violation gate (OR of all check conditions) must survive in
     its OWN projection after optimization: if CollapseProject ever

@@ -65,7 +65,9 @@ def main():
         rv = referential_violations(df, "source", dim, "source",
                                     row_id_col(), code="invalid_enum",
                                     carry=carry)
-        rp = explode_with_carry(ann, row_id_col(), carry)
+        # r6: mirror runner's filter-first dirty path (explode feed)
+        from goskema_spark.rowpass import dirty_annotated
+        rp = explode_with_carry(dirty_annotated(df, schema), row_id_col(), carry)
         all_viols = rp.unionByName(uv).unionByName(rv)
         v_rec = (all_viols.withColumn("_rec", F.lit("v"))
                  .withColumn("_rows", F.lit(None).cast("bigint")))
