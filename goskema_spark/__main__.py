@@ -75,6 +75,15 @@ def with_synthesized_ordinal(df):
         out.schema  # force analysis so a missing _metadata fails HERE
         return out
     except Exception:
+        # loud, not silent: on this path byte-identical duplicate rows
+        # share an ordinal and uniqueness reports ZERO violations for
+        # them — the operator must know the check is degraded
+        import sys
+        print("goskema: warning: input has no _metadata (non-file "
+              "source) and no _ord column; falling back to a content-"
+              "hash ordinal. Byte-identical duplicate rows will NOT be "
+              "reported by the uniqueness check — persist a real "
+              "ordinal column for exact attribution.", file=sys.stderr)
         return df.withColumn("_ord", F.xxhash64(F.struct(*df.columns)))
 
 

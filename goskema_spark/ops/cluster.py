@@ -93,9 +93,23 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         labels.unpersist()
         labels = nxt
         if changed == 0:
-            edges.unpersist()
+            # Hand the caller a ContextCleaner-managed copy: a persist()'d
+            # generation is registered with the SQL CacheManager, whose
+            # entries survive garbage collection of every reference — the
+            # returned frame would stay pinned (O(nodes) storage) for the
+            # WHOLE session, since no caller ever unpersists it. A
+            # localCheckpoint's RDD blocks are instead reclaimed by the
+            # ContextCleaner once the frame is GC'd (same lifecycle as
+            # `edges` above). 8th-round generations already are one.
+            if (i + 1) % 8 != 0:
+                final = labels.localCheckpoint(eager=True)
+                labels.unpersist()
+                labels = final
+            # edges' localCheckpoint blocks: ContextCleaner-reclaimed on
+            # GC (Dataset.unpersist() would be a no-op on them, see the
+            # generation-lifecycle note above)
             return labels
-    edges.unpersist()
+    labels.unpersist()  # release the last generation before failing
     raise RuntimeError(
         f"connected_components: no convergence after {max_iter} rounds "
         "(component diameter exceeds the round budget)")

@@ -42,6 +42,17 @@ MAX_INLINE_VALUES = 4096
 # per validate() call (measured 0.35-0.44s/call on a Python-backed
 # 20-row dim: the collect itself is trivial, the latency is the
 # Python-RDD evaluation plus distinct-exchange stage scheduling).
+#
+# Two deliberate consequences callers should know:
+# - the probe makes check CONSTRUCTION eager (one bounded
+#   limit(n+1).collect() job at plan-build time, before any output is
+#   actioned); pass max_inline_values=0 for a fully lazy (join-path)
+#   check.
+# - the domain is frozen per dim DataFrame OBJECT: if the dim's
+#   underlying storage changes, a held dim object keeps validating
+#   against the old domain (the join path would re-scan per action).
+#   Re-read the dim (a fresh object) — or max_inline_values=0 — to
+#   track a mutable dimension, e.g. across long-lived streaming runs.
 _domain_memo: "weakref.WeakKeyDictionary[DataFrame, dict]" = \
     weakref.WeakKeyDictionary()
 

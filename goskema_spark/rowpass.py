@@ -1255,13 +1255,17 @@ def dirty_annotated(df: DataFrame, schema: TableSchema,
 
 
 def explode_violations(df: DataFrame, row_id: Column,
-                       violations_col: str = "_violations") -> DataFrame:
+                       violations_col: str = "_violations",
+                       carry=()) -> DataFrame:
     """_violations array -> violations table (FIXTURES.md F5 shape), sorted
     deterministically by (row_id, path, code) — the distributed analog of
-    goskema's issue ordering (reference README.md:573-574)."""
+    goskema's issue ordering (reference README.md:573-574). `carry`
+    appends passthrough columns (e.g. the logical partition) after the
+    violation fields."""
     v = df.withColumn("_row_id", row_id).select(
         F.col("_row_id").alias("row_id"),
         F.explode(F.col(violations_col)).alias("v"),
+        *[F.col(c) for c in carry],
     )
     return v.select(
         "row_id",
@@ -1270,15 +1274,21 @@ def explode_violations(df: DataFrame, row_id: Column,
         F.col("v.message").alias("message"),
         F.col("v.rule").alias("rule"),
         F.col("v.params").alias("params"),
+        *carry,
     )
 
 
-def validate_rows(df: DataFrame, schema: TableSchema, row_id: Column):
+def validate_rows(df: DataFrame, schema: TableSchema, row_id: Column,
+                  carry=()):
     """Full row pass: returns (annotated_df, violations_df, clean_df).
 
     clean_df preserves input token arrays byte-identically (per-row
     invariant, BASELINE.json input_hint) — it is a pure filter, never a
     rewrite of the data columns.
+
+    `carry` passes through to the violations table (runner attaches the
+    logical partition column this way, so the one dirty-path plan built
+    here serves the report job too).
     """
     df = apply_defaults(df, schema)
     ann = with_violations(df, schema)
@@ -1286,7 +1296,8 @@ def validate_rows(df: DataFrame, schema: TableSchema, row_id: Column):
     # explode drops empty arrays anyway, so filtering on the codegen'd
     # gate BEFORE the interpreted HOF body projection is equivalent and
     # keeps the interpreted projection off the clean majority
-    viols = explode_violations(_dirty_with_violations(df, schema), row_id)
+    viols = explode_violations(_dirty_with_violations(df, schema), row_id,
+                               carry=carry)
     gate, _, exact = _compiled_triple(schema, df)
     if gate is not None and exact:
         # clean selection straight off the codegen-friendly gate: a row

@@ -36,7 +36,7 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame, functions as F
 
 from goskema_spark.referential import referential_violations
-from goskema_spark.rowpass import dirty_annotated, validate_rows
+from goskema_spark.rowpass import validate_rows
 from goskema_spark.schema import TableSchema
 from goskema_spark.uniqueness import uniqueness_violations
 
@@ -93,10 +93,9 @@ def validate(
         # north rule: explicit repartition by (source, hash(doc_id))
         df = df.repartition(repartition, F.col(partition_col), F.xxhash64(row_id))
 
-    ann, rowpass_viols, clean = validate_rows(df, schema, row_id)
-
     # carry the logical partition through aggregate checks for verdicts
     carry = [partition_col] if partition_col in df.columns else []
+    ann, rowpass_viols, clean = validate_rows(df, schema, row_id, carry=carry)
     agg_viols = []
     # aggregate checks read the PLAIN input, not the annotated plan — they
     # never touch _violations, and keeping the giant check expression out
@@ -122,14 +121,12 @@ def validate(
                                    row_id, code=fk.code, carry=carry)
         )
 
-    # row-pass violations with the partition column attached — fed from
-    # the filter-first dirty path (codegen'd gate Filter below the
-    # interpreted HOF body projection), NOT from `ann`: explode drops
-    # empty arrays anyway, and `ann`'s guarded shape pays interpreted
-    # per-row dispatch for every clean row of the corpus (rowpass.py
-    # _dirty_with_violations has the equivalence argument)
-    rp = explode_with_carry(dirty_annotated(df, schema), row_id, carry)
-    all_viols = rp
+    # row-pass violations (carry already attached): validate_rows feeds
+    # them from the filter-first dirty path — a codegen'd gate Filter
+    # below the interpreted HOF body projection, NOT the guarded `ann`
+    # shape, which pays interpreted per-row dispatch for every clean row
+    # (rowpass.py _dirty_with_violations has the equivalence argument)
+    all_viols = rowpass_viols
     for v in agg_viols:
         all_viols = all_viols.unionByName(v)
 

@@ -137,13 +137,17 @@ def uniqueness_violations(df: DataFrame, key: str, ordinal: str,
     # only adds a unique-keyed row to the joined subset, where the
     # first-occurrence aggregate over the TRUE key yields
     # first==ordinal and the row is filtered — correctness unaffected.
+    # normalize: any truthy value except the "auto" sentinel forces the
+    # hint (an identity `is True` test would silently drop the hint for
+    # truthy non-bool values like 1 or numpy bools)
+    force_broadcast = bool(broadcast) and broadcast != "auto"
     kc = F.col(key)
     dups = (df.filter(kc.isNotNull())
             .groupBy(F.xxhash64(kc).alias("_kh"))
             .agg(F.count(F.lit(1)).alias("_cnt"))
             .filter(F.col("_cnt") > 1)
             .select("_kh"))
-    if broadcast is True:
+    if force_broadcast:
         dups = F.broadcast(dups)
     # semi-join the dup-hash set; resolve first-occurrence ordinals with
     # a map-side-combinable MIN aggregate + broadcast join instead of a
@@ -155,7 +159,7 @@ def uniqueness_violations(df: DataFrame, key: str, ordinal: str,
     sub = df.join(dups, F.xxhash64(kc) == F.col("_kh"), "inner").drop("_kh")
     firsts = (sub.groupBy(kc.alias("_fk"))
               .agg(F.min(ordinal).alias("_first")))
-    if broadcast is True:
+    if force_broadcast:
         firsts = F.broadcast(firsts)
     sub = (sub.join(firsts, kc == F.col("_fk"), "inner").drop("_fk")
            .filter(F.col(ordinal) != F.col("_first")))

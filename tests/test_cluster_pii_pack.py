@@ -44,6 +44,20 @@ def test_cc_max_iter_raises(spark):
         connected_components(p, max_iter=2)
 
 
+def test_cc_returns_no_cachemanager_entry(spark):
+    """r6: the returned (final) generation must not be registered with
+    the SQL CacheManager — a persist()'d return value would pin an
+    O(nodes) cache for the whole session, since no caller ever
+    unpersists it. The ContextCleaner-managed localCheckpoint the
+    function returns instead reports StorageLevel NONE here (the
+    CacheManager has no entry for a LogicalRDD plan)."""
+    from pyspark import StorageLevel
+    p = _pairs(spark, [(2, 1), (2, 3), (3, 4), (11, 10)])
+    out = connected_components(p)
+    assert out.count() == 6
+    assert out.storageLevel == StorageLevel.NONE
+
+
 def test_dedup_groups_keep_flag(spark):
     p = _pairs(spark, [(5, 9), (9, 7)])
     rows = {r["doc_id"]: r for r in dedup_groups(p).collect()}

@@ -44,7 +44,7 @@ def main():
 
     from goskema_spark.rowpass import validate_rows
     from goskema_spark.referential import referential_violations
-    from goskema_spark.runner import _verdicts_from_report, explode_with_carry
+    from goskema_spark.runner import _verdicts_from_report
     import goskema_spark.uniqueness as U
 
     uk = schema.unique_keys[0]
@@ -58,16 +58,15 @@ def main():
         # r6: "auto" runs no probe job — AQE decides from runtime stats
         t["probe"] = time.time() - t0; t0 = time.time()
 
-        ann, _, _ = validate_rows(df, schema, row_id_col())
+        # r6: mirror runner — validate_rows builds the filter-first
+        # dirty-path violations with carry attached, ONE plan build
         carry = ["source"]
+        ann, rp, _ = validate_rows(df, schema, row_id_col(), carry=carry)
         uv = U.uniqueness_violations(df, "doc_id", "_ord", row_id_col(),
                                      carry=carry, broadcast=bc)
         rv = referential_violations(df, "source", dim, "source",
                                     row_id_col(), code="invalid_enum",
                                     carry=carry)
-        # r6: mirror runner's filter-first dirty path (explode feed)
-        from goskema_spark.rowpass import dirty_annotated
-        rp = explode_with_carry(dirty_annotated(df, schema), row_id_col(), carry)
         all_viols = rp.unionByName(uv).unionByName(rv)
         v_rec = (all_viols.withColumn("_rec", F.lit("v"))
                  .withColumn("_rows", F.lit(None).cast("bigint")))
